@@ -1,0 +1,95 @@
+"""Tree analyses: memory usage, FLOP/byte accounting per node.
+
+Reference parity: indigo/analyses.py (Memusage visitor — unverified, mount
+empty; SURVEY.md §2). The reference used this to pre-allocate intermediates;
+XLA allocates for us, so here the analyses feed the roofline report instead:
+bytes of payload per node and bytes moved / FLOPs per apply.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .operators import (
+    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One,
+    Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
+)
+from .transforms import Visitor
+
+__all__ = ["Memusage", "memusage_report", "apply_cost"]
+
+
+class Memusage(Visitor):
+    """Collect (name, shape, payload bytes) rows for every node."""
+
+    def __init__(self):
+        self.rows = []
+
+    def generic_visit(self, node):
+        own = node.memusage() - sum(c.memusage() for c in node.children())
+        self.rows.append((node.name, node.shape, int(own)))
+        for c in node.children():
+            self.visit(c)
+        return node
+
+
+def memusage_report(op: Operator) -> str:
+    v = Memusage()
+    v.visit(op)
+    total = op.memusage()
+    lines = [f"{'node':<16} {'shape':<20} {'payload':>12}"]
+    for name, shape, b in v.rows:
+        lines.append(f"{name:<16} {str(shape):<20} {b:>12,}")
+    lines.append(f"{'TOTAL':<16} {'':<20} {total:>12,}")
+    return "\n".join(lines)
+
+
+def _itemsize(dtype):
+    return np.dtype(dtype).itemsize
+
+
+def apply_cost(op: Operator, ncols: int = 1):
+    """Estimate (flops, hbm_bytes) for one forward apply with K columns.
+
+    Used by bench.py for the speed-of-light roofline comparison
+    (north star: "per-apply time at roofline"). Complex multiply-add is
+    counted as 8 flops.
+    """
+    K = ncols
+    isz = _itemsize(op.dtype)
+
+    def rec(node):
+        if isinstance(node, SpMatrix):
+            ell = node.ell
+            stored = ell.data.size
+            flops = 8 * stored * K  # MXU does the whole padded tile
+            bytes_ = (ell.data.nbytes + ell.cols.nbytes
+                      + (node.shape[0] + node.shape[1]) * K * isz)
+            return flops, bytes_
+        if isinstance(node, Diag):
+            n = node.shape[0]
+            return 8 * n * K, (3 * n * K + n) * isz
+        if isinstance(node, DenseMatrix):
+            m, n = node.shape
+            return 8 * m * n * K, (m * n + (m + n) * K) * isz
+        if isinstance(node, UnscaledFFT):
+            n = int(np.prod(node.vol_shape))
+            flops = 5 * n * max(1, int(np.log2(max(n, 2)))) * K * 2
+            return flops, 2 * 2 * n * K * isz  # read+write, ~2 passes
+        if isinstance(node, (Eye,)):
+            return 0, 0
+        if isinstance(node, One):
+            m, n = node.shape
+            return 2 * (m + n) * K, (m + n) * K * isz
+        if isinstance(node, KronI):
+            f, b = rec(node.child)
+            return node.c * f, node.c * b
+        if isinstance(node, (Adjoint, Scale)):
+            return rec(node.children()[0])
+        f = b = 0
+        for c in node.children():
+            cf, cb = rec(c)
+            f += cf
+            b += cb
+        return f, b
+
+    return rec(op)

@@ -1,0 +1,784 @@
+"""Composable structured linear-operator algebra as jittable JAX pytrees.
+
+Reference parity: indigo/operators.py (unverified — reference mount empty at
+survey time; see SURVEY.md). The reference's algebra — leaves ``SpMatrix``,
+``DenseMatrix``, ``UnscaledFFT``, ``Eye``, ``One`` and combinators ``Product``,
+``Adjoint``, ``KronI``, ``BlockDiag``, ``VStack``, ``HStack``, ``Scale`` — is
+rebuilt TPU-first:
+
+  * Every operator is a registered pytree node. Array payloads (ELL tiles,
+    diagonals, dense blocks) are dynamic leaves; shapes/dtypes are static aux
+    data. An operator can therefore be passed straight through ``jax.jit``,
+    ``jax.vmap`` and ``shard_map``.
+  * There is no Backend object and no ``dndarray`` — XLA *is* the backend.
+    The reference's ``eval(y, x, alpha, beta, forward)`` mutation contract
+    becomes the pure ``apply(x, adjoint=...)`` / ``eval(...)`` pair.
+  * ``KronI`` is a column-batch widening reshape (the moral equivalent of the
+    reference's LiftUnscaledFFTs pass: one batched FFT serves all copies,
+    automatically, for every operator).
+
+Shapes follow the reference's matrix convention: an operator has shape (M, N)
+and acts on column-batched arrays x of shape (N,) or (N, K).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as spsparse
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from . import cplx
+from .cplx import as_payload, unpack, iscpair, CPair
+from .sparse import BlockedELL, csr_to_bell, bell_spmm
+
+__all__ = [
+    "Operator",
+    "SpMatrix", "DenseMatrix", "Diag", "UnscaledFFT", "Eye", "One",
+    "Product", "Adjoint", "KronI", "BlockDiag", "VStack", "HStack", "Scale",
+]
+
+
+def _as_2d(x):
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        pass  # keep complex numpy on host; cplx dispatch splits it pre-device
+    else:
+        x = jnp.asarray(x)
+    if x.ndim == 1:
+        return x[:, None], True
+    return x, False
+
+
+# Module-level complex-safe jitted apply: cached across operator instances
+# with the same tree structure. Used for *eager* application on backends that
+# cannot hold complex buffers at the host<->device boundary (TPU).
+_capply_fwd = cplx.cjit(lambda op, x: op.apply(x, adjoint=False))
+_capply_adj = cplx.cjit(lambda op, x: op.apply(x, adjoint=True))
+
+
+def _dispatch_apply(op, x, adjoint=False):
+    """Apply now: direct inside traces / complex-capable backends, else via
+    a complex-safe jit boundary (returns host numpy for complex results)."""
+    leaves = jax.tree_util.tree_leaves((op, x))
+    traced = any(isinstance(l, jax.core.Tracer) for l in leaves)
+    if traced or cplx.supports_complex_buffers():
+        return op.apply(jnp.asarray(x), adjoint=adjoint)
+    return (_capply_adj if adjoint else _capply_fwd)(op, x)
+
+
+class Operator:
+    """Abstract structured linear operator (shape (M, N), column-batched)."""
+
+    _name = None
+
+    # ---- core contract -------------------------------------------------
+    @property
+    def shape(self):
+        raise NotImplementedError
+
+    @property
+    def dtype(self):
+        return jnp.complex64
+
+    def apply(self, x, adjoint=False):
+        """Pure apply: x (N, K) -> y (M, K); adjoint applies A^H."""
+        raise NotImplementedError
+
+    # ---- reference-compatible surface ---------------------------------
+    def eval(self, x, alpha=1.0, beta=0.0, y=None, forward=True):
+        """Functional y' = alpha * op(x) + beta * y (reference: Operator.eval)."""
+        adj = not forward
+        if y is None:
+            return cplx.eager_call(
+                lambda op, x, a: a * op.apply(x, adjoint=adj), self, x, alpha)
+        return cplx.eager_call(
+            lambda op, x, a, b, y: a * op.apply(x, adjoint=adj) + b * y,
+            self, x, alpha, beta, y)
+
+    @property
+    def H(self):
+        return Adjoint(self)
+
+    def __mul__(self, other):
+        if isinstance(other, Operator):
+            return Product(self, other)
+        if isinstance(other, (int, float, complex)) and not isinstance(other, bool):
+            return Scale(other, self)
+        x, was_vec = _as_2d(other)
+        y = _dispatch_apply(self, x)
+        return y[:, 0] if was_vec else y
+
+    __matmul__ = __mul__
+
+    def __rmul__(self, other):
+        if isinstance(other, (int, float, complex)) and not isinstance(other, bool):
+            return Scale(other, self)
+        return NotImplemented
+
+    def __neg__(self):
+        return Scale(-1.0, self)
+
+    # ---- introspection -------------------------------------------------
+    @property
+    def name(self):
+        return self._name or type(self).__name__
+
+    def children(self):
+        return ()
+
+    def _describe(self):
+        M, N = self.shape
+        return f"{self.name} <{M}x{N}> {np.dtype(self.dtype).name}"
+
+    def dump(self, _indent=0):
+        """Pretty-print the operator tree (reference: Operator.dump)."""
+        lines = ["  " * _indent + self._describe()]
+        for c in self.children():
+            lines.append(c.dump(_indent + 1))
+        out = "\n".join(lines)
+        return out
+
+    def memusage(self):
+        """Total bytes of array payload in the tree (reference: memusage)."""
+        leaves = jax.tree_util.tree_leaves(self)
+        return int(sum(getattr(l, "nbytes", 0) for l in leaves))
+
+    def optimize(self, recipe=None):
+        """Run the rewrite pipeline (reference: Operator.optimize)."""
+        from .transforms import optimize as _optimize
+        return _optimize(self, recipe)
+
+    def to_dense(self):
+        """Materialize as a dense matrix by applying to identity (tests)."""
+        N = self.shape[1]
+        eye = np.eye(N, dtype=np.dtype(self.dtype))
+        return _dispatch_apply(self, eye)
+
+    def __repr__(self):
+        return f"<{self._describe()}>"
+
+
+# =========================== leaves ====================================
+
+
+@register_pytree_node_class
+class SpMatrix(Operator):
+    """Sparse matrix leaf backed by blocked-ELL tiles for both directions.
+
+    Reference: indigo/operators.py SpMatrix (unverified). The scipy CSR is
+    converted host-side once; the adjoint uses a separately tiled A^H so both
+    directions are gather-shaped on TPU (SURVEY.md §7 step 5).
+    """
+
+    def __init__(self, A, name=None, bm=8, bn=128, _ell=None, _ellH=None):
+        if _ell is not None:
+            self._ell, self._ellH = _ell, _ellH
+        else:
+            A = spsparse.csr_matrix(A)
+            self._ell = csr_to_bell(A, bm=bm, bn=bn)
+            self._ellH = csr_to_bell(A.conj().T.tocsr(), bm=bm, bn=bn)
+        self._name = name
+
+    @property
+    def shape(self):
+        return self._ell.shape
+
+    @property
+    def dtype(self):
+        return self._ell.dtype
+
+    @property
+    def ell(self):
+        return self._ell
+
+    @property
+    def ellH(self):
+        return self._ellH
+
+    def apply(self, x, adjoint=False):
+        from .ops import spmm  # dispatches jnp vs Pallas
+        return spmm(self._ellH if adjoint else self._ell, x)
+
+    def _describe(self):
+        base = super()._describe()
+        return f"{base} nnz={self._ell.nnz} fill={self._ell.fill_fraction():.3f}"
+
+    def tree_flatten(self):
+        return (self._ell, self._ellH), (self._name,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._ell, obj._ellH = children
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class DenseMatrix(Operator):
+    """Dense matrix leaf (reference: DenseMatrix -> cgemm)."""
+
+    def __init__(self, A, name=None):
+        A = as_payload(A)
+        if A.ndim != 2:
+            raise ValueError("DenseMatrix expects a 2D array")
+        self._A = A
+        self._name = name
+
+    @property
+    def shape(self):
+        return self._A.shape
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    @property
+    def array(self):
+        return unpack(self._A)
+
+    def apply(self, x, adjoint=False):
+        A = unpack(self._A)
+        if adjoint:
+            A = A.conj().T
+        return jnp.matmul(A, x, precision="highest")
+
+    def tree_flatten(self):
+        return (self._A,), (self._name,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj._A,) = children
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class Diag(Operator):
+    """Diagonal operator (apodization, coil maps, FFT shifts).
+
+    The reference stores diagonals as CSR SpMatrix leaves; on TPU an explicit
+    elementwise multiply is strictly better (VPU, fuses into neighbors).
+    """
+
+    def __init__(self, d, name=None):
+        self._d = as_payload(d).ravel()
+        self._name = name
+
+    @property
+    def shape(self):
+        n = self._d.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self._d.dtype
+
+    @property
+    def diagonal(self):
+        """Diagonal as a (possibly complex) array — trace-safe contexts only."""
+        return unpack(self._d)
+
+    @property
+    def payload(self):
+        return self._d
+
+    def apply(self, x, adjoint=False):
+        d = unpack(cplx.conj(self._d) if adjoint else self._d)
+        return d[:, None] * x
+
+    def tree_flatten(self):
+        return (self._d,), (self._name,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj._d,) = children
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class UnscaledFFT(Operator):
+    """Unnormalized FFT over a volume; columns are the batch dimension.
+
+    Reference: indigo/operators.py UnscaledFFT (unverified): forward is the
+    unnormalized DFT, adjoint is the unnormalized inverse (N * ifftn), so
+    A^H A = N * I. Operator shape is (prod(vol), prod(vol)); x columns are
+    reshaped to the volume, batched FFT'd by XLA, and flattened back.
+    """
+
+    def __init__(self, vol_shape, dtype=jnp.complex64, name=None):
+        self._vol = tuple(int(s) for s in vol_shape)
+        self._dtype = jnp.dtype(dtype)
+        self._name = name
+
+    @property
+    def vol_shape(self):
+        return self._vol
+
+    @property
+    def shape(self):
+        n = int(np.prod(self._vol))
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def apply(self, x, adjoint=False):
+        K = x.shape[1]
+        axes = tuple(range(len(self._vol)))
+        v = x.reshape(self._vol + (K,))
+        if adjoint:
+            n = int(np.prod(self._vol))
+            y = jnp.fft.ifftn(v, axes=axes) * n
+        else:
+            y = jnp.fft.fftn(v, axes=axes)
+        return y.reshape(-1, K).astype(self._dtype)
+
+    def _describe(self):
+        return f"{self.name}{list(self._vol)} <{self.shape[0]}x{self.shape[1]}>"
+
+    def tree_flatten(self):
+        return (), (self._vol, str(self._dtype), self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._vol, dtype, obj._name = aux
+        obj._dtype = jnp.dtype(dtype)
+        return obj
+
+
+@register_pytree_node_class
+class Eye(Operator):
+    """Identity (reference: Eye)."""
+
+    def __init__(self, n, dtype=jnp.complex64, name=None):
+        self._n = int(n)
+        self._dtype = jnp.dtype(dtype)
+        self._name = name
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def apply(self, x, adjoint=False):
+        return x
+
+    def tree_flatten(self):
+        return (), (self._n, str(self._dtype), self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._n, dtype, obj._name = aux
+        obj._dtype = jnp.dtype(dtype)
+        return obj
+
+
+@register_pytree_node_class
+class One(Operator):
+    """All-ones (M, N) matrix: y = broadcast column sums (reference: One).
+
+    Used by the reference as the coil-combination "sum" stage (its custom
+    ``onemm`` kernel). Here it is a reduce + broadcast the VPU eats for free.
+    """
+
+    def __init__(self, shape, dtype=jnp.complex64, name=None):
+        self._shape = (int(shape[0]), int(shape[1]))
+        self._dtype = jnp.dtype(dtype)
+        self._name = name
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def apply(self, x, adjoint=False):
+        M, N = self._shape
+        out_rows = N if adjoint else M
+        s = jnp.sum(x, axis=0, keepdims=True)
+        return jnp.broadcast_to(s, (out_rows, x.shape[1])).astype(self._dtype)
+
+    def tree_flatten(self):
+        return (), (self._shape, str(self._dtype), self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._shape, dtype, obj._name = aux
+        obj._dtype = jnp.dtype(dtype)
+        return obj
+
+
+# ========================= combinators =================================
+
+
+@register_pytree_node_class
+class Product(Operator):
+    """Composition A @ B (reference: Product)."""
+
+    def __init__(self, A, B, name=None):
+        if A.shape[1] != B.shape[0]:
+            raise ValueError(f"shape mismatch in Product: {A.shape} @ {B.shape}")
+        self._A, self._B = A, B
+        self._name = name
+
+    @property
+    def shape(self):
+        return (self._A.shape[0], self._B.shape[1])
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self._A.dtype, self._B.dtype)
+
+    def children(self):
+        return (self._A, self._B)
+
+    @property
+    def left(self):
+        return self._A
+
+    @property
+    def right(self):
+        return self._B
+
+    def apply(self, x, adjoint=False):
+        if adjoint:
+            return self._B.apply(self._A.apply(x, adjoint=True), adjoint=True)
+        return self._A.apply(self._B.apply(x))
+
+    def tree_flatten(self):
+        return (self._A, self._B), (self._name,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._A, obj._B = children
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class Adjoint(Operator):
+    """Conjugate-transpose wrapper; A.H.H is simplified back to A."""
+
+    def __new__(cls, A, name=None):
+        if isinstance(A, Adjoint):
+            return A.child
+        return super().__new__(cls)
+
+    def __init__(self, A, name=None):
+        if isinstance(A, Adjoint):
+            return  # __new__ returned the unwrapped child; leave it untouched
+        self._A = A
+        self._name = name
+
+    @property
+    def shape(self):
+        m, n = self._A.shape
+        return (n, m)
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    @property
+    def child(self):
+        return self._A
+
+    def children(self):
+        return (self._A,)
+
+    def apply(self, x, adjoint=False):
+        return self._A.apply(x, adjoint=not adjoint)
+
+    def tree_flatten(self):
+        return (self._A,), (self._name,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj._A,) = children
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class KronI(Operator):
+    """I_c (x) A: apply A independently to c stacked blocks (reference: KronI).
+
+    TPU-native: the c blocks are folded into the column-batch dimension, so a
+    single batched child apply (one batched FFT, one SpMM) serves all copies —
+    the built-in equivalent of the reference's LiftUnscaledFFTs rewrite.
+    """
+
+    def __init__(self, c, A, name=None):
+        self._c = int(c)
+        self._A = A
+        self._name = name
+
+    @property
+    def shape(self):
+        m, n = self._A.shape
+        return (self._c * m, self._c * n)
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    @property
+    def c(self):
+        return self._c
+
+    @property
+    def child(self):
+        return self._A
+
+    def children(self):
+        return (self._A,)
+
+    def apply(self, x, adjoint=False):
+        m, n = self._A.shape
+        if adjoint:
+            m, n = n, m
+        c, K = self._c, x.shape[1]
+        # (c*n, K) -> (n, c*K): fold block index into columns.
+        xw = x.reshape(c, n, K).transpose(1, 0, 2).reshape(n, c * K)
+        yw = self._A.apply(xw, adjoint=adjoint)
+        return yw.reshape(m, c, K).transpose(1, 0, 2).reshape(c * m, K)
+
+    def _describe(self):
+        M, N = self.shape
+        return f"{self.name}(c={self._c}) <{M}x{N}>"
+
+    def tree_flatten(self):
+        return (self._A,), (self._c, self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj._A,) = children
+        obj._c, obj._name = aux
+        return obj
+
+
+@register_pytree_node_class
+class BlockDiag(Operator):
+    """diag(A_1, ..., A_k): each block applies to its row/col slice.
+
+    Reference: BlockDiag (per-coil sensitivity blocks). Static child count,
+    so the Python loop unrolls cleanly under jit; for homogeneous children
+    prefer KronI (single batched apply).
+    """
+
+    def __init__(self, blocks, name=None):
+        self._blocks = tuple(blocks)
+        if not self._blocks:
+            raise ValueError("BlockDiag needs at least one block")
+        self._name = name
+
+    @property
+    def shape(self):
+        return (
+            sum(b.shape[0] for b in self._blocks),
+            sum(b.shape[1] for b in self._blocks),
+        )
+
+    @property
+    def dtype(self):
+        return jnp.result_type(*[b.dtype for b in self._blocks])
+
+    def children(self):
+        return self._blocks
+
+    @property
+    def blocks(self):
+        return self._blocks
+
+    def apply(self, x, adjoint=False):
+        outs = []
+        off = 0
+        for b in self._blocks:
+            m, n = b.shape
+            if adjoint:
+                m, n = n, m
+            outs.append(b.apply(x[off:off + n], adjoint=adjoint))
+            off += n
+        return jnp.concatenate(outs, axis=0)
+
+    def tree_flatten(self):
+        return self._blocks, (self._name, len(self._blocks))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._blocks = tuple(children)
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class VStack(Operator):
+    """[A_1; A_2; ...]: stacked outputs, shared input (reference: VStack).
+
+    Adjoint is the sum of per-block adjoints.
+    """
+
+    def __init__(self, blocks, name=None):
+        self._blocks = tuple(blocks)
+        if not self._blocks:
+            raise ValueError("VStack needs at least one block")
+        n = self._blocks[0].shape[1]
+        for b in self._blocks:
+            if b.shape[1] != n:
+                raise ValueError("VStack blocks must share input width")
+        self._name = name
+
+    @property
+    def shape(self):
+        return (sum(b.shape[0] for b in self._blocks), self._blocks[0].shape[1])
+
+    @property
+    def dtype(self):
+        return jnp.result_type(*[b.dtype for b in self._blocks])
+
+    def children(self):
+        return self._blocks
+
+    @property
+    def blocks(self):
+        return self._blocks
+
+    def apply(self, x, adjoint=False):
+        if adjoint:
+            y = None
+            off = 0
+            for b in self._blocks:
+                m = b.shape[0]
+                t = b.apply(x[off:off + m], adjoint=True)
+                y = t if y is None else y + t
+                off += m
+            return y
+        return jnp.concatenate([b.apply(x) for b in self._blocks], axis=0)
+
+    def tree_flatten(self):
+        return self._blocks, (self._name, len(self._blocks))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._blocks = tuple(children)
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class HStack(Operator):
+    """[A_1, A_2, ...]: split input, summed outputs (reference: HStack)."""
+
+    def __init__(self, blocks, name=None):
+        self._blocks = tuple(blocks)
+        if not self._blocks:
+            raise ValueError("HStack needs at least one block")
+        m = self._blocks[0].shape[0]
+        for b in self._blocks:
+            if b.shape[0] != m:
+                raise ValueError("HStack blocks must share output height")
+        self._name = name
+
+    @property
+    def shape(self):
+        return (self._blocks[0].shape[0], sum(b.shape[1] for b in self._blocks))
+
+    @property
+    def dtype(self):
+        return jnp.result_type(*[b.dtype for b in self._blocks])
+
+    def children(self):
+        return self._blocks
+
+    @property
+    def blocks(self):
+        return self._blocks
+
+    def apply(self, x, adjoint=False):
+        if adjoint:
+            return jnp.concatenate(
+                [b.apply(x, adjoint=True) for b in self._blocks], axis=0
+            )
+        y = None
+        off = 0
+        for b in self._blocks:
+            n = b.shape[1]
+            t = b.apply(x[off:off + n])
+            y = t if y is None else y + t
+            off += n
+        return y
+
+    def tree_flatten(self):
+        return self._blocks, (self._name, len(self._blocks))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._blocks = tuple(children)
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class Scale(Operator):
+    """alpha * A with a scalar alpha (reference: Scale).
+
+    alpha is carried as a 0-d array leaf so it can be traced/differentiated.
+    """
+
+    def __init__(self, alpha, A, name=None):
+        self._alpha = as_payload(alpha)
+        self._A = A
+        self._name = name
+
+    @property
+    def shape(self):
+        return self._A.shape
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self._alpha.dtype, self._A.dtype)
+
+    @property
+    def alpha(self):
+        return self._alpha
+
+    @property
+    def child(self):
+        return self._A
+
+    def children(self):
+        return (self._A,)
+
+    def apply(self, x, adjoint=False):
+        a = unpack(cplx.conj(self._alpha) if adjoint else self._alpha)
+        return a * self._A.apply(x, adjoint=adjoint)
+
+    def tree_flatten(self):
+        return (self._alpha, self._A), (self._name,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._alpha, obj._A = children
+        obj._name = aux[0]
+        return obj

@@ -1,0 +1,203 @@
+"""Iterative solvers — fully on-device via lax.while_loop / lax.scan.
+
+Reference parity: the reference implements Conjugate Gradient and accelerated
+proximal gradient (FISTA) as ``Backend.cg`` / ``Backend.apgd`` on its device
+primitive set (indigo/backends/backend.py — unverified, mount empty; see
+SURVEY.md §2/§3.3). The reference returns control to Python between
+primitives every iteration (host round-trips for each dot product); here the
+entire solve is one compiled XLA loop — zero host syncs until the result is
+fetched (SURVEY.md §3.3, north star).
+
+All solvers accept either an :class:`~indigo_tpu.operators.Operator` or a
+plain matvec callable, operate on arrays of any shape (treated as one long
+vector for inner products), and are jit-compatible: operators/arrays are
+traced pytree inputs, maxiter/tol are static.
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import cplx
+from .operators import Operator
+
+__all__ = ["cg", "apgd", "fista", "max_eigen", "soft_thresh"]
+
+
+def _as_matvec(A):
+    if isinstance(A, Operator):
+        def mv(v):
+            if v.ndim == 1:
+                return A.apply(v[:, None])[:, 0]
+            if v.ndim == 2:
+                return A.apply(v)
+            return A.apply(v.reshape(A.shape[1], -1)).reshape(v.shape)
+        return mv
+    return A
+
+
+def _vdot(a, b):
+    """Real inner product Re<a, b> over all elements (Hermitian systems)."""
+    return jnp.real(jnp.vdot(a.ravel(), b.ravel()))
+
+
+def cg(A, b, x0=None, lamda=0.0, tol=1e-6, maxiter=100, history=False):
+    """Conjugate Gradient for Hermitian positive-definite ``A`` (+ lamda*I).
+
+    Solves (A + lamda*I) x = b. Reference parity: ``Backend.cg`` with optional
+    Tikhonov lamda and per-iteration residual logging (SURVEY.md §3.3).
+
+    Returns ``(x, info)`` where info has ``iters`` and ``resid`` (final
+    relative residual). With ``history=True`` the solver runs a fixed-length
+    ``lax.scan`` and info additionally carries ``resids`` of shape (maxiter,)
+    (entries after convergence are frozen) — the on-device equivalent of the
+    reference's per-iteration residual log.
+
+    Fully jit-compatible; when called eagerly on a backend without complex
+    buffer support (TPU) the whole solve is auto-wrapped in a complex-safe
+    jit (see cplx.cjit) and ``x`` comes back as host numpy.
+    """
+    leaves = jax.tree_util.tree_leaves((A, b, x0))
+    traced = any(isinstance(l, jax.core.Tracer) for l in leaves)
+    if traced or cplx.supports_complex_buffers():
+        return _cg_core(A, b, x0, lamda=lamda, tol=tol, maxiter=maxiter,
+                        history=history)
+    # Eager on a complex-incapable backend: compile once per (solver config),
+    # cached so repeated solves hit the same executable.
+    fn = _cg_cjit(float(lamda), float(tol), int(maxiter), bool(history))
+    return fn(A, b, x0)
+
+
+@functools.lru_cache(maxsize=64)
+def _cg_cjit(lamda, tol, maxiter, history):
+    return cplx.cjit(partial(_cg_core, lamda=lamda, tol=tol,
+                             maxiter=maxiter, history=history))
+
+
+def _cg_core(A, b, x0=None, *, lamda, tol, maxiter, history):
+    mv = _as_matvec(A)
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    def matvec(v):
+        Av = mv(v)
+        if not (isinstance(lamda, (int, float)) and lamda == 0):
+            Av = Av + lamda * v
+        return Av
+
+    bnorm = jnp.sqrt(_vdot(b, b))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    r0 = b - matvec(x0)
+    rs0 = _vdot(r0, r0)
+
+    def step(x, r, p, rs):
+        Ap = matvec(p)
+        alpha = rs / _vdot(p, Ap)
+        x = x + alpha.astype(x.dtype) * p
+        r = r - alpha.astype(r.dtype) * Ap
+        rs_new = _vdot(r, r)
+        beta = rs_new / rs
+        p = r + beta.astype(p.dtype) * p
+        return x, r, p, rs_new
+
+    if history:
+        def body(carry, _):
+            x, r, p, rs, k, done = carry
+            xn, rn, pn, rsn = step(x, r, p, rs)
+            new_done = done | (jnp.sqrt(rsn) <= tol * bnorm)
+            x, r, p, rs = jax.tree.map(
+                lambda new, old: jnp.where(done, old, new),
+                (xn, rn, pn, rsn), (x, r, p, rs))
+            k = jnp.where(done, k, k + 1)
+            return (x, r, p, rs, k, new_done), jnp.sqrt(rs) / bnorm
+
+        (x, r, p, rs, k, _), resids = lax.scan(
+            body, (x0, r0, r0, rs0, jnp.int32(0), jnp.sqrt(rs0) <= tol * bnorm),
+            None, length=maxiter)
+        info = {"iters": k, "resid": jnp.sqrt(rs) / bnorm, "resids": resids}
+        return x, info
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return (k < maxiter) & (jnp.sqrt(rs) > tol * bnorm)
+
+    def body(state):
+        x, r, p, rs, k = state
+        x, r, p, rs = step(x, r, p, rs)
+        return (x, r, p, rs, k + 1)
+
+    x, r, p, rs, k = lax.while_loop(cond, body, (x0, r0, r0, rs0, jnp.int32(0)))
+    return x, {"iters": k, "resid": jnp.sqrt(rs) / bnorm}
+
+
+def soft_thresh(x, lamda):
+    """Complex soft-thresholding prox of lamda*||.||_1."""
+    mag = jnp.abs(x)
+    scale = jnp.maximum(mag - lamda, 0.0) / jnp.maximum(mag, 1e-30)
+    return (scale * x).astype(x.dtype)
+
+
+def apgd(gradf, proxg, alpha, x0, maxiter=100, history=False):
+    """Accelerated proximal gradient descent (FISTA).
+
+    Reference parity: ``Backend.apgd`` (SURVEY.md §2 "Solvers"). Minimizes
+    f(x) + g(x) given ``gradf(x)`` and ``proxg(v, step)`` with step size
+    ``alpha``, entirely inside one ``lax.scan``.
+
+    Returns ``(x, info)``; with ``history=True`` info carries per-iteration
+    objective-surrogate norms ||x_k - x_{k-1}||.
+    """
+    core = lambda x0: _apgd_core(gradf, proxg, alpha, x0, maxiter, history)
+    return cplx.eager_call(core, x0)
+
+
+def _apgd_core(gradf, proxg, alpha, x0, maxiter, history):
+    x0 = jnp.asarray(x0)
+
+    def body(carry, _):
+        x, z, t = carry
+        g = gradf(z)
+        xn = proxg(z - alpha * g, alpha)
+        tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        zn = xn + ((t - 1.0) / tn).astype(xn.dtype) * (xn - x)
+        delta = jnp.linalg.norm((xn - x).ravel())
+        return (xn, zn, tn), delta
+
+    (x, _, _), deltas = lax.scan(
+        body, (x0, x0, jnp.float32(1.0)), None, length=maxiter)
+    info = {"iters": jnp.int32(maxiter)}
+    if history:
+        info["deltas"] = deltas
+    return x, info
+
+
+fista = apgd
+
+
+def max_eigen(A, n, iters=30, key=None, dtype=jnp.complex64):
+    """Largest eigenvalue of Hermitian PSD ``A`` by power iteration.
+
+    Used to pick the FISTA step size alpha = 1 / L. Runs as one lax.scan.
+    """
+    core = lambda A: _max_eigen_core(A, n, iters, key, dtype)
+    return cplx.eager_call(core, A)
+
+
+def _max_eigen_core(A, n, iters, key, dtype):
+    mv = _as_matvec(A)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    v0 = jax.random.normal(key, (n,), dtype=jnp.float32).astype(dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(v, _):
+        w = mv(v)
+        lam = _vdot(v, w)
+        return w / jnp.maximum(jnp.linalg.norm(w.ravel()), 1e-30), lam
+
+    _, lams = lax.scan(body, v0, None, length=iters)
+    return lams[-1]

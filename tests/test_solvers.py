@@ -1,0 +1,92 @@
+"""Solver tests: CG vs direct solve, FISTA on a toy lasso (SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import indigo_tpu as it
+from indigo_tpu.solvers import cg, apgd, max_eigen, soft_thresh
+from indigo_tpu.utils import rand64c, rel_err
+
+
+def spd_system(n, rng):
+    B = rand64c(n, n, rng=rng)
+    A = B.conj().T @ B + 0.5 * np.eye(n, dtype=np.complex64)
+    x_true = rand64c(n, rng=rng)
+    return A.astype(np.complex64), x_true, (A @ x_true).astype(np.complex64)
+
+
+def test_cg_dense(rng):
+    A, x_true, b = spd_system(24, rng)
+    x, info = cg(it.DenseMatrix(A), jnp.asarray(b), tol=1e-7, maxiter=200)
+    assert rel_err(np.asarray(x), x_true) < 1e-4
+    assert int(info["iters"]) <= 200
+
+
+def test_cg_matvec_callable(rng):
+    A, x_true, b = spd_system(16, rng)
+    Aj = jnp.asarray(A)
+    x, _ = cg(lambda v: Aj @ v, jnp.asarray(b), tol=1e-7, maxiter=200)
+    assert rel_err(np.asarray(x), x_true) < 1e-4
+
+
+def test_cg_tikhonov(rng):
+    A, _, b = spd_system(16, rng)
+    lam = 0.7
+    x, _ = cg(it.DenseMatrix(A), jnp.asarray(b), lamda=lam, tol=1e-8, maxiter=300)
+    ref = np.linalg.solve(A + lam * np.eye(16), b)
+    assert rel_err(np.asarray(x), ref) < 1e-4
+
+
+def test_cg_history_matches_whileloop(rng):
+    A, _, b = spd_system(12, rng)
+    x1, i1 = cg(it.DenseMatrix(A), jnp.asarray(b), tol=1e-7, maxiter=100)
+    x2, i2 = cg(it.DenseMatrix(A), jnp.asarray(b), tol=1e-7, maxiter=100,
+                history=True)
+    assert rel_err(np.asarray(x2), np.asarray(x1)) < 1e-5
+    assert i2["resids"].shape == (100,)
+
+
+def test_cg_jit(rng):
+    A, x_true, b = spd_system(16, rng)
+    f = jax.jit(lambda op, b: cg(op, b, tol=1e-7, maxiter=150)[0])
+    x = f(it.DenseMatrix(A), jnp.asarray(b))
+    assert rel_err(np.asarray(x), x_true) < 1e-4
+
+
+def test_max_eigen(rng):
+    A, _, _ = spd_system(20, rng)
+    lam = float(max_eigen(it.DenseMatrix(A), 20, iters=200))
+    lam_ref = float(np.linalg.eigvalsh(A).max())
+    assert abs(lam - lam_ref) / lam_ref < 1e-2
+
+
+def test_soft_thresh():
+    x = jnp.asarray([3.0 + 4.0j, 0.1, -2.0], dtype=jnp.complex64)
+    y = np.asarray(soft_thresh(x, 1.0))
+    assert abs(y[0] - (3 + 4j) * (4 / 5)) < 1e-6
+    assert y[1] == 0
+    assert abs(y[2] - (-1.0)) < 1e-6
+
+
+def test_fista_lasso(rng):
+    """min 0.5||Ax-b||^2 + lam||x||_1 — check vs subgradient optimality."""
+    m, n, lam = 40, 20, 0.001
+    A = rand64c(m, n, rng=rng) / np.sqrt(m)
+    x_true = np.zeros(n, dtype=np.complex64)
+    x_true[:4] = rand64c(4, rng=rng)
+    b = A @ x_true
+    Aj = jnp.asarray(A)
+    bj = jnp.asarray(b)
+
+    def gradf(x):
+        return Aj.conj().T @ (Aj @ x - bj)
+
+    L = float(np.linalg.norm(A, 2)) ** 2
+    proxg = lambda v, step: soft_thresh(v, lam * step)
+    x, _ = apgd(gradf, proxg, 1.0 / L, jnp.zeros(n, jnp.complex64),
+                maxiter=800)
+    x = np.asarray(x)
+    # optimality: |A^H(Ax-b)| <= lam... with lam->0 here FISTA solves LS;
+    # check residual small on support and objective below initial.
+    obj = 0.5 * np.linalg.norm(A @ x - b) ** 2
+    assert obj < 1e-3
