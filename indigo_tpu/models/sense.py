@@ -1,0 +1,157 @@
+"""SENSE / NUFFT forward-model builders.
+
+Reference parity: the user-script composition layer of the reference
+(SURVEY.md §3.4): build G (gridding CSR), D (apodization), F (FFT), S (coil
+maps), compose A = G F D S per coil via KronI/BlockDiag, optimize, solve.
+Here each builder returns a ready-made operator tree over the same algebra.
+
+Layout conventions (column-batched, like the reference):
+  * image vectors are flattened C-order, shape (prod(img_shape), K)
+  * multi-coil k-space is coil-major stacked: shape (ncoil*M, K)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..operators import (
+    Operator, SpMatrix, Diag, UnscaledFFT, KronI, VStack, Scale, Product,
+)
+from .. import noncart
+from ..noncart import (
+    interp_mat, deapodization, zpad_mat, checkerboard, beatty_beta,
+    sort_trajectory,
+)
+
+__all__ = [
+    "centered_fft_op", "nufft_op", "sense_nufft_op", "cartesian_sense_op",
+    "NufftPlan",
+]
+
+
+def centered_fft_op(shape, dtype=np.complex64):
+    """Centered FFT  fftshift . fft . ifftshift  as D_out * F * D_in.
+
+    The shift diagonals are exact (+-1) checkerboards for even dims — real
+    f32 multiplies the VPU fuses into the FFT's neighbors.
+    """
+    din = Diag(checkerboard(shape), name="fftshift_in")
+    dout = Diag(checkerboard(shape, shifted=True), name="fftshift_out")
+    return dout * UnscaledFFT(shape, dtype=dtype) * din
+
+
+@dataclass
+class NufftPlan:
+    """Host-side plan for a NUFFT operator (geometry + permutation).
+
+    ``perm`` maps user sample order -> internal (cell-sorted) order; k-space
+    data must be permuted accordingly: y_internal = y_user[perm]. For normal
+    operators (A^H A) the permutation cancels and can be ignored.
+    """
+    img_shape: tuple
+    grid_shape: tuple
+    traj: np.ndarray
+    width: int
+    beta: float
+    perm: np.ndarray
+    oversamp: float
+
+    @property
+    def n_samples(self):
+        return len(self.traj)
+
+
+def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
+             name="NUFFT"):
+    """Type-2 NUFFT operator A: image -> k-space samples.
+
+    A = G . Fc . Z . Da  with G the KB gridding CSR (as blocked-ELL
+    SpMatrix), Fc the centered FFT on the oversampled grid, Z centered
+    zero-padding, Da the real deapodization diagonal. Returns (A, plan).
+
+    Semantics (see noncart module docstring):
+        (A x)_i ~= sum_j x[j] exp(-2 pi i k_i . (j - N//2))
+    """
+    traj = np.atleast_2d(np.asarray(traj, dtype=np.float64))
+    img_shape = tuple(int(n) for n in img_shape)
+    grid_shape = tuple(int(2 * round(n * oversamp / 2)) for n in img_shape)
+    if beta is None:
+        beta = beatty_beta(width, oversamp)
+
+    if sort:
+        perm = sort_trajectory(traj, grid_shape)
+        traj_s = traj[perm]
+    else:
+        perm = np.arange(len(traj))
+        traj_s = traj
+
+    G = SpMatrix(interp_mat(traj_s, grid_shape, width=width, beta=beta),
+                 name="Gridding")
+    Fc = centered_fft_op(grid_shape)
+    Z = SpMatrix(zpad_mat(img_shape, grid_shape), name="Zpad")
+    Da = Diag(deapodization(img_shape, grid_shape, width=width, beta=beta),
+              name="Deapod")
+    A = (G * Fc * Z * Da)
+    A._name = name
+    plan = NufftPlan(img_shape, grid_shape, traj_s, width, float(beta),
+                     perm, float(oversamp))
+    return A, plan
+
+
+def sense_nufft_op(traj, maps, oversamp=1.5, width=4, beta=None, sort=True):
+    """Multi-coil SENSE NUFFT operator: (ncoil*M, prod(img)).
+
+    maps: (ncoil, *img_shape) complex coil sensitivities.
+    A = KronI(nc, G Fc Z) . VStack([Diag(Da * map_c)]) — the deapodization
+    is folded into the per-coil diagonals (one fewer pass over the image,
+    the kind of fusion the reference's RealizeMatrices pass chased).
+    """
+    maps = np.asarray(maps)
+    nc = maps.shape[0]
+    img_shape = maps.shape[1:]
+    core, plan = nufft_op(
+        traj, img_shape, oversamp=oversamp, width=width, beta=beta, sort=sort)
+    # core = G * Fc * Z * Da; strip the trailing deapod and fold into maps.
+    # (core is a right-leaning Product chain; rebuild without Da.)
+    G_FcZ = _drop_rightmost_diag(core)
+    Da = deapodization(img_shape, plan.grid_shape, width=width,
+                       beta=plan.beta)
+    coils = VStack(
+        [Diag((Da * maps[c]).ravel().astype(np.complex64),
+              name=f"Map{c}") for c in range(nc)],
+        name="Coils")
+    A = KronI(nc, G_FcZ, name="PerCoil") * coils
+    return A, plan
+
+
+def _drop_rightmost_diag(op):
+    """Remove the rightmost factor of a Product chain (the deapod Diag)."""
+    if isinstance(op, Product):
+        if isinstance(op.right, Diag):
+            return op.left
+        return Product(op.left, _drop_rightmost_diag(op.right))
+    raise ValueError("expected a Product chain")
+
+
+def cartesian_sense_op(mask, maps):
+    """Cartesian multi-coil SENSE: A = KronI(nc, P Fc) . VStack(Diag maps).
+
+    mask: boolean array over the image grid (sampled k-space locations, in
+    centered/fftshifted order); maps: (ncoil, *img_shape).
+    """
+    import scipy.sparse as sp
+
+    maps = np.asarray(maps)
+    nc = maps.shape[0]
+    img_shape = maps.shape[1:]
+    n = int(np.prod(img_shape))
+    keep = np.flatnonzero(np.asarray(mask).ravel())
+    P = sp.csr_matrix(
+        (np.ones(len(keep), np.float32), (np.arange(len(keep)), keep)),
+        shape=(len(keep), n))
+    core = SpMatrix(P, name="Sampling") * centered_fft_op(img_shape)
+    coils = VStack(
+        [Diag(maps[c].ravel().astype(np.complex64), name=f"Map{c}")
+         for c in range(nc)], name="Coils")
+    return KronI(nc, core, name="PerCoil") * coils

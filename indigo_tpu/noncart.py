@@ -1,0 +1,155 @@
+"""Non-Cartesian NUFFT support: Kaiser-Bessel gridding matrix + apodization.
+
+Reference parity: indigo/noncart.py (unverified — mount empty; SURVEY.md §2
+"NUFFT gridding builder"): builds the CSR interpolation (gridding) matrix
+from a non-Cartesian k-space trajectory with a Kaiser-Bessel kernel, plus the
+matching deapodization correction and oversampled-grid geometry.
+
+TPU-first details beyond the reference:
+  * rows (k-space samples) are optionally sorted by grid cell so nearby
+    samples land in the same blocked-ELL row block — this is what makes the
+    MXU tiling dense (SURVEY.md §7 "hard parts": ELL padding blow-up).
+  * centered-FFT phase diagonals are (+-1) checkerboards (real f32, exact),
+    not complex exponentials.
+
+Conventions:
+  * trajectories are (M, d) arrays in cycles/pixel, range [-0.5, 0.5).
+  * the image of shape N is centered at pixel N//2; the forward model equals
+    s_i = sum_j x[j] * exp(-2*pi*i * k_i . (j - N//2))  (type-2 NUFFT),
+    which the oracle in indigo_tpu.oracle evaluates directly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = [
+    "kaiser_bessel", "beatty_beta", "interp_mat", "deapodization",
+    "zpad_mat", "checkerboard", "sort_trajectory",
+]
+
+
+def kaiser_bessel(t, width, beta):
+    """Kaiser-Bessel kernel value at offset ``t`` (|t| <= width/2)."""
+    t = np.asarray(t, dtype=np.float64)
+    x = 1.0 - (2.0 * t / width) ** 2
+    x = np.clip(x, 0.0, None)
+    return np.i0(beta * np.sqrt(x)) / np.i0(beta)
+
+
+def beatty_beta(width, oversamp):
+    """Optimal KB shape parameter (Beatty, Nishimura & Pauly 2005)."""
+    return np.pi * np.sqrt(
+        (width / oversamp) ** 2 * (oversamp - 0.5) ** 2 - 0.8)
+
+
+def sort_trajectory(traj, grid_shape):
+    """Permutation sorting samples by (row-major) grid cell for locality."""
+    traj = np.asarray(traj)
+    G = np.asarray(grid_shape)
+    c = (traj + 0.5) % 1.0 * G  # cell coordinate in [0, G)
+    cell = np.floor(c).astype(np.int64)
+    key = np.zeros(len(traj), dtype=np.int64)
+    for d in range(traj.shape[1]):
+        key = key * G[d] + cell[:, d]
+    return np.argsort(key, kind="stable")
+
+
+def interp_mat(traj, grid_shape, width=4, beta=None, chunk=1 << 16):
+    """Gridding/interpolation CSR matrix (M, prod(grid_shape)).
+
+    Row i holds the KB weights interpolating the *centered* oversampled
+    spectrum at grid coordinate traj[i]*G + G/2, with periodic wraparound.
+    Build is vectorized numpy, chunked over rows to bound memory; see
+    indigo_tpu.native for the multithreaded C++ builder used at scale.
+    """
+    traj = np.atleast_2d(np.asarray(traj, dtype=np.float64))
+    M, ndim = traj.shape
+    G = tuple(int(g) for g in grid_shape)
+    assert len(G) == ndim, (G, ndim)
+    if beta is None:
+        beta = beatty_beta(width, 2.0)
+    Ntot = int(np.prod(G))
+
+    parts = []
+    for lo in range(0, M, chunk):
+        t = traj[lo:lo + chunk]
+        m = len(t)
+        cols = np.zeros((m, 1), dtype=np.int64)
+        wts = np.ones((m, 1), dtype=np.float64)
+        for d in range(ndim):
+            c = (t[:, d] + 0.5) * G[d]  # centered grid coordinate
+            base = np.ceil(c - width / 2.0).astype(np.int64)
+            offs = np.arange(width)
+            idx = base[:, None] + offs[None, :]          # (m, width)
+            w_d = kaiser_bessel(c[:, None] - idx, width, beta)
+            idx = np.mod(idx, G[d])
+            cols = cols[:, :, None] * G[d] + idx[:, None, :]
+            wts = wts[:, :, None] * w_d[:, None, :]
+            cols = cols.reshape(m, -1)
+            wts = wts.reshape(m, -1)
+        nnz_row = cols.shape[1]
+        rows = np.repeat(np.arange(lo, lo + m), nnz_row)
+        parts.append(sp.coo_matrix(
+            (wts.ravel().astype(np.float32), (rows, cols.ravel())),
+            shape=(M, Ntot)))
+    A = parts[0] if len(parts) == 1 else sum(parts[1:], parts[0])
+    A = A.tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def _apod_1d(G, N, width, beta, quad_pts=2001):
+    """A(x) = FT of the KB kernel at image offsets; numeric quadrature."""
+    t = np.linspace(-width / 2.0, width / 2.0, quad_pts)
+    kbv = kaiser_bessel(t, width, beta)
+    x = (np.arange(N) - N // 2) / float(G)  # cycles per grid unit
+    ph = np.cos(2.0 * np.pi * t[None, :] * x[:, None])
+    A = np.trapezoid(kbv[None, :] * ph, t, axis=1)
+    return A
+
+
+def deapodization(img_shape, grid_shape, width=4, beta=None):
+    """Real deapodization array (img_shape): 1 / FT(KB) per axis, outer prod."""
+    if beta is None:
+        beta = beatty_beta(width, 2.0)
+    out = np.ones((), dtype=np.float64)
+    for N, G in zip(img_shape, grid_shape):
+        a = _apod_1d(G, N, width, beta)
+        out = np.multiply.outer(out, 1.0 / a)
+    return out.astype(np.float32)
+
+
+def zpad_mat(img_shape, grid_shape):
+    """Sparse 0/1 matrix (prod(grid), prod(img)) embedding the image centered
+    in the oversampled grid (reference embeds this in its maps SpMatrix)."""
+    img_shape = tuple(img_shape)
+    grid_shape = tuple(grid_shape)
+    offs = [(g - n) // 2 for n, g in zip(img_shape, grid_shape)]
+    idx = np.indices(img_shape).reshape(len(img_shape), -1)
+    lin = np.zeros(idx.shape[1], dtype=np.int64)
+    for d, g in enumerate(grid_shape):
+        lin = lin * g + (idx[d] + offs[d])
+    n = int(np.prod(img_shape))
+    return sp.csr_matrix(
+        (np.ones(n, np.float32), (lin, np.arange(n))),
+        shape=(int(np.prod(grid_shape)), n))
+
+
+def checkerboard(shape, shifted=False):
+    """(-1)^(sum n_d) diagonal for centered FFTs, as a flat float32 array.
+
+    For even G: fftshift(fft(ifftshift(x))) == D_out * fft(D_in * x) with
+    D_in = checkerboard(shape) and D_out = (-1)^(sum G_d/2) * checkerboard.
+    ``shifted=True`` returns D_out (includes the global sign).
+    """
+    out = np.ones((), dtype=np.float32)
+    sign = 1.0
+    for g in shape:
+        assert g % 2 == 0, "centered FFT checkerboard requires even dims"
+        out = np.multiply.outer(out, (-1.0) ** np.arange(g))
+        sign *= (-1.0) ** (g // 2)
+    out = out.astype(np.float32)
+    if shifted:
+        out = out * np.float32(sign)
+    return out.ravel()

@@ -106,6 +106,10 @@ class Operator:
         if isinstance(other, (int, float, complex)) and not isinstance(other, bool):
             return Scale(other, self)
         x, was_vec = _as_2d(other)
+        if x.shape[0] != self.shape[1]:
+            raise ValueError(
+                f"{self.name}: input has {x.shape[0]} rows, operator is "
+                f"{self.shape[0]}x{self.shape[1]}")
         y = _dispatch_apply(self, x)
         return y[:, 0] if was_vec else y
 
