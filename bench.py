@@ -1,0 +1,169 @@
+"""Headline benchmark: 3D multicoil NUFFT CG-SENSE (BASELINE.json metric).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The metric is CG iterations/sec on a 3D SENSE reconstruction (128^3 image,
+8 coils, ~260k radial samples) using the Toeplitz-embedded normal operator —
+the production CG path (each iteration = one doubled-grid batched FFT
+round-trip + coil combine; no host syncs).
+
+vs_baseline compares against the committed CPU reference measurement
+(bench_cpu.json, generated with `python bench.py --cpu`), mirroring the
+reference's "numpy backend is the baseline" convention (SURVEY.md §6).
+Detailed stage timings and a roofline estimate go to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_problem(n=128, nc=8, nspokes=2048, nread=128, seed=0):
+    rng = np.random.default_rng(seed)
+    # 3D kooshball-ish radial trajectory
+    u = rng.random(nspokes)
+    v = rng.random(nspokes)
+    th = np.arccos(2 * u - 1)
+    ph = 2 * np.pi * v
+    dirs = np.stack([np.sin(th) * np.cos(ph),
+                     np.sin(th) * np.sin(ph),
+                     np.cos(th)], axis=1)
+    r = (np.arange(nread) - nread // 2) / nread
+    traj = (dirs[:, None, :] * r[None, :, None]).reshape(-1, 3)
+
+    img_shape = (n, n, n)
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) / n
+    maps = []
+    for c in range(nc):
+        a, b, cph = rng.random(3)
+        amp = 0.4 + np.exp(-(((xx - a) ** 2 + (yy - b) ** 2
+                              + (zz - cph) ** 2) * 3))
+        maps.append(amp * np.exp(1j * 2 * np.pi * (a * xx + b * yy)))
+    maps = np.asarray(maps, dtype=np.complex64)
+    rhs = (rng.standard_normal((1, n ** 3), dtype=np.float32)
+           + 1j * rng.standard_normal((1, n ** 3), dtype=np.float32)
+           ).astype(np.complex64)
+    return traj, img_shape, maps, rhs
+
+
+def main():
+    cpu = "--cpu" in sys.argv
+    small = "--small" in sys.argv
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from indigo_tpu.toeplitz import toeplitz_kernel
+
+    n = 64 if small else 128
+    iters = 5 if cpu else 20
+    t0 = time.time()
+    traj, img_shape, maps, rhs = build_problem(n=n)
+    print(f"[bench] problem built in {time.time()-t0:.1f}s "
+          f"(n={n}, coils={maps.shape[0]}, samples={len(traj)})",
+          file=sys.stderr)
+
+    t0 = time.time()
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_toeplitz_{n}.npy")
+    if os.path.exists(cache):
+        Tf = np.load(cache)
+    else:
+        Tf = toeplitz_kernel(traj, img_shape, oversamp=1.25, width=4)
+        np.save(cache, Tf)
+    print(f"[bench] toeplitz kernel ready in {time.time()-t0:.1f}s "
+          f"(2x grid {Tf.shape})", file=sys.stderr)
+
+    # Timing notes for this environment: host<->device transfers ride a
+    # ~27MB/s tunnel and block_until_ready does not synchronize, so (a) all
+    # payloads are uploaded ONCE outside the timed region, (b) runs are
+    # timed by a forced scalar fetch, (c) per-iteration time is the
+    # difference between two iteration counts (cancels fetch latency).
+    import jax
+    import jax.numpy as jnp
+    from indigo_tpu import cplx
+    from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
+
+    Tf_d = jax.device_put(jnp.asarray(Tf))
+    maps_d = jax.device_put(cplx.pack(maps))
+    rhs_d = jax.device_put(cplx.pack(rhs))
+
+    def make_solver(k):
+        @jax.jit
+        def solve(Tf, maps_p, rhs_p):
+            m = cplx.unpack(maps_p)
+            b = cplx.unpack(rhs_p)
+            xs, resids = batched_cg(
+                lambda v: sense_normal_batched(Tf, m, v),
+                b, lamda=1.0, iters=k)
+            return resids[-1], jnp.linalg.norm(xs.real)
+        return solve
+
+    k1, k2 = (2, 4) if cpu else (5, 10)
+    s1, s2 = make_solver(k1), make_solver(k2)
+
+    def timed(f):
+        t0 = time.time()
+        r, nrm = f(Tf_d, maps_d, rhs_d)
+        np.asarray(nrm)  # forced fetch = real synchronization
+        return time.time() - t0, float(np.asarray(nrm))
+
+    t0 = time.time()
+    t_w1, nrm = timed(s1)
+    t_w2, _ = timed(s2)
+    t_first = time.time() - t0
+    t_a1, _ = timed(s1)
+    t_a2, nrm = timed(s2)
+    assert np.isfinite(nrm), "non-finite reconstruction"
+    per_iter = max((t_a2 - t_a1) / (k2 - k1), 1e-9)
+    t_warm = per_iter * k2
+    ips = 1.0 / per_iter
+
+    # roofline estimate for one CG iteration (stderr only)
+    nc = maps.shape[0]
+    big = int(np.prod(Tf.shape))
+    npx = int(np.prod(img_shape))
+    cplx_b = 8
+    fft_bytes = 2 * 3 * 2 * big * nc * cplx_b  # fwd+inv, ~3 passes, r+w
+    other = (4 * npx * nc + 6 * npx) * cplx_b + big * 4
+    bytes_per_iter = fft_bytes + other
+    hbm = 819e9  # v5e HBM bandwidth
+    sol = hbm / bytes_per_iter
+    print(f"[bench] device={jax.devices()[0].platform} first={t_first:.2f}s "
+          f"warm={t_warm:.3f}s iters/sec={ips:.2f} "
+          f"(speed-of-light ~{sol:.1f}/s at 819GB/s, "
+          f"{100*ips/sol:.0f}% of roofline)", file=sys.stderr)
+
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_cpu.json")
+    if cpu:
+        with open(base_file, "w") as f:
+            json.dump({"metric": "cg_iters_per_sec_3d_sense",
+                       "value": ips, "n": n}, f)
+        print(f"[bench] wrote CPU baseline {ips:.3f} iters/sec",
+              file=sys.stderr)
+        print(json.dumps({"metric": "cg_iters_per_sec_3d_sense_cpu",
+                          "value": round(ips, 3), "unit": "iters/sec",
+                          "vs_baseline": 1.0}))
+        return
+
+    vs = None
+    if os.path.exists(base_file):
+        with open(base_file) as f:
+            base = json.load(f)
+        if base.get("n") == n and base.get("value"):
+            vs = ips / base["value"]
+    print(json.dumps({
+        "metric": "cg_iters_per_sec_3d_sense_128c8",
+        "value": round(ips, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,12 +14,16 @@ Quick start::
     AHA = A.H * A
     x, info = it.solvers.cg(AHA, A.H * y, maxiter=50)
 """
-from . import operators, transforms, analyses, solvers, sparse, utils
+from . import (
+    operators, transforms, analyses, solvers, sparse, utils, cplx,
+    noncart, oracle, models, wavelet, toeplitz, parallel,
+)
 from .operators import (
-    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One,
+    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
     Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
 from .solvers import cg, apgd, fista, max_eigen, soft_thresh
+from .wavelet import DWT
 from .sparse import BlockedELL, csr_to_bell, bell_spmm
 
 __version__ = "0.1.0"

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..operators import (
     Operator, SpMatrix, Diag, UnscaledFFT, KronI, VStack, Scale, Product,
+    CropPad,
 )
 from .. import noncart
 from ..noncart import (
@@ -89,7 +90,7 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
     G = SpMatrix(interp_mat(traj_s, grid_shape, width=width, beta=beta),
                  name="Gridding")
     Fc = centered_fft_op(grid_shape)
-    Z = SpMatrix(zpad_mat(img_shape, grid_shape), name="Zpad")
+    Z = CropPad(img_shape, grid_shape, name="Zpad")
     Da = Diag(deapodization(img_shape, grid_shape, width=width, beta=beta),
               name="Deapod")
     A = (G * Fc * Z * Da)

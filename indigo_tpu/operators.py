@@ -35,7 +35,7 @@ from .sparse import BlockedELL, csr_to_bell, bell_spmm
 
 __all__ = [
     "Operator",
-    "SpMatrix", "DenseMatrix", "Diag", "UnscaledFFT", "Eye", "One",
+    "SpMatrix", "DenseMatrix", "Diag", "UnscaledFFT", "Eye", "One", "CropPad",
     "Product", "Adjoint", "KronI", "BlockDiag", "VStack", "HStack", "Scale",
 ]
 
@@ -422,6 +422,69 @@ class One(Operator):
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj._shape, dtype, obj._name = aux
+        obj._dtype = jnp.dtype(dtype)
+        return obj
+
+
+@register_pytree_node_class
+class CropPad(Operator):
+    """Centered zero-pad (forward) / crop (adjoint) between two volumes.
+
+    Structured replacement for a 0/1 scatter SpMatrix (the reference embeds
+    zero-padding inside its sparse maps matrix): shape
+    (prod(out_shape), prod(in_shape)), forward embeds the in-volume centered
+    in the out-volume. Pure pad/slice — free on the VPU, fuses into the FFT.
+    """
+
+    def __init__(self, in_shape, out_shape, dtype=jnp.complex64, name=None):
+        self._in = tuple(int(s) for s in in_shape)
+        self._out = tuple(int(s) for s in out_shape)
+        if len(self._in) != len(self._out):
+            raise ValueError("rank mismatch")
+        for a, b in zip(self._in, self._out):
+            if a > b:
+                raise ValueError("in_shape must fit inside out_shape")
+        self._dtype = jnp.dtype(dtype)
+        self._name = name
+
+    @property
+    def in_shape(self):
+        return self._in
+
+    @property
+    def out_shape(self):
+        return self._out
+
+    @property
+    def shape(self):
+        return (int(np.prod(self._out)), int(np.prod(self._in)))
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def apply(self, x, adjoint=False):
+        K = x.shape[1]
+        offs = [(o - i) // 2 for i, o in zip(self._in, self._out)]
+        if adjoint:
+            v = x.reshape(self._out + (K,))
+            sl = tuple(slice(o, o + i) for i, o in zip(self._in, offs))
+            return v[sl].reshape(-1, K)
+        v = x.reshape(self._in + (K,))
+        pad = [(o, b - a - o) for a, b, o in zip(self._in, self._out, offs)]
+        return jnp.pad(v, pad + [(0, 0)]).reshape(-1, K)
+
+    def _describe(self):
+        return (f"{self.name}{list(self._in)}->{list(self._out)} "
+                f"<{self.shape[0]}x{self.shape[1]}>")
+
+    def tree_flatten(self):
+        return (), (self._in, self._out, str(self._dtype), self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._in, obj._out, dtype, obj._name = aux
         obj._dtype = jnp.dtype(dtype)
         return obj
 

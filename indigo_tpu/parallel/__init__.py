@@ -1,0 +1,26 @@
+"""Multi-chip scale-out: device meshes, sharded batched reconstruction.
+
+The reference is strictly single-node/single-device (SURVEY.md §2
+"Parallelism-strategy inventory": no DP/TP/PP, no NCCL/MPI); its only
+batching is structural (KronI over coils). This package is the TPU-native
+scale-out the north star adds on top:
+
+  * data parallel  -> 'slice' mesh axis (independent slices of a volume)
+  * model parallel -> 'coil' mesh axis (coil sum becomes an XLA psum)
+  * sequence-parallel analogue -> sharded 3D FFT (dist_fft, per-axis FFT +
+    all_to_all transpose over ICI)
+
+All of it is GSPMD-first: payloads/data carry NamedShardings and XLA inserts
+the collectives; shard_map is used only where manual control wins.
+"""
+from .mesh import make_mesh, replicated, shard_along
+from .recon import (
+    sense_normal_batched, batched_cg, sense_batch_recon,
+)
+from .dist_fft import fftn_sharded
+
+__all__ = [
+    "make_mesh", "replicated", "shard_along",
+    "sense_normal_batched", "batched_cg", "sense_batch_recon",
+    "fftn_sharded",
+]

@@ -1,0 +1,130 @@
+"""Toeplitz-embedded NUFFT normal operator.
+
+BASELINE.json config 5: replace A^H A (gridding -> FFT -> degridding, twice)
+with a single padded-FFT pointwise multiply:
+
+    A^H A x  ~=  crop( IFFT( T * FFT( pad_2x(x) ) ) )
+
+where T is the spectrum of the (Hermitian) point-spread kernel
+t[d] = sum_i exp(2 pi i k_i . d), d in (-N, N)^d, computed once via the
+gridded adjoint NUFFT of a ones-vector on a 2N image. Inside a CG loop this
+removes the SpMM entirely — the iteration is two FFTs and one elementwise
+multiply, the HBM-roofline path the north star asks for.
+
+T is Hermitian-symmetric => its spectrum is real; stored as a real float32
+payload (half the bytes, and keeps the operator exactly self-adjoint).
+
+Reference parity: SURVEY.md §3.4 mentions the reference's Toeplitz embedding
+of the normal operator ("or Toeplitz-embedded normal op"); this is its
+TPU-native form.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from .operators import Operator, KronI, VStack, Diag
+from . import cplx
+
+__all__ = ["ToeplitzNormal", "toeplitz_kernel", "sense_normal_toeplitz"]
+
+
+def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None):
+    """Real spectrum T (2N grid) of the NUFFT normal-operator kernel.
+
+    Computed once, entirely host-side (numpy/scipy — no device ELL tiles are
+    built for the doubled grid): the gridded adjoint NUFFT of ``weights``
+    (default ones; pass density-compensation weights to fold them into the
+    normal operator) on the doubled image grid:
+
+        t = Da^H Z^H Fc^H G^H w   (one CSR column-reduction + one host IFFT)
+        T = FFT(ifftshift(t)).real
+    """
+    from .noncart import interp_mat, deapodization, beatty_beta
+
+    img_shape = tuple(int(s) for s in img_shape)
+    big = tuple(2 * s for s in img_shape)
+    grid2 = tuple(int(2 * round(s * oversamp / 2)) for s in big)
+    beta = beatty_beta(width, oversamp)
+    G = interp_mat(traj, grid2, width=width, beta=beta)
+    M = G.shape[0]
+    w = np.ones(M, np.complex64) if weights is None else \
+        np.asarray(weights, np.complex64).ravel()
+    v = np.asarray(G.conj().T @ w).reshape(grid2).astype(np.complex64)
+    # Fc^H = fftshift . (prod(grid2) * ifftn) . ifftshift
+    u = np.fft.fftshift(
+        np.fft.ifftn(np.fft.ifftshift(v))) * float(np.prod(grid2))
+    offs = [(g - b) // 2 for b, g in zip(big, grid2)]
+    sl = tuple(slice(o, o + b) for b, o in zip(big, offs))
+    t = u[sl] * deapodization(big, grid2, width=width, beta=beta)
+    Tf = np.fft.fftn(np.fft.ifftshift(t))
+    return np.ascontiguousarray(Tf.real.astype(np.float32))
+
+
+@register_pytree_node_class
+class ToeplitzNormal(Operator):
+    """Self-adjoint operator x -> crop(IFFT(T * FFT(pad(x)))), shape (N, N)."""
+
+    def __init__(self, Tf, img_shape, name=None):
+        self._T = jnp.asarray(Tf, dtype=jnp.float32)
+        self._vol = tuple(int(s) for s in img_shape)
+        assert self._T.ndim == len(self._vol)
+        self._name = name
+
+    @property
+    def img_shape(self):
+        return self._vol
+
+    @property
+    def shape(self):
+        n = int(np.prod(self._vol))
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return jnp.complex64
+
+    def apply(self, x, adjoint=False):
+        # self-adjoint: forward == adjoint
+        K = x.shape[1]
+        big = self._T.shape
+        v = x.reshape(self._vol + (K,))
+        offs = [(b - s) // 2 for s, b in zip(self._vol, big)]
+        pad = [(o, b - s - o) for s, b, o in zip(self._vol, big, offs)]
+        v = jnp.pad(v, pad + [(0, 0)])
+        axes = tuple(range(len(big)))
+        V = jnp.fft.fftn(v, axes=axes)
+        V = self._T[..., None] * V
+        v = jnp.fft.ifftn(V, axes=axes)
+        sl = tuple(slice(o, o + s) for s, o in zip(self._vol, offs))
+        return v[sl].reshape(-1, K).astype(jnp.complex64)
+
+    def _describe(self):
+        return (f"{self.name}{list(self._vol)} <{self.shape[0]}x"
+                f"{self.shape[1]}> (2x-grid {list(self._T.shape)})")
+
+    def tree_flatten(self):
+        return (self._T,), (self._vol, self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj._T,) = children
+        obj._vol, obj._name = aux
+        return obj
+
+
+def sense_normal_toeplitz(Tf, maps):
+    """A^H A for multi-coil SENSE via the Toeplitz kernel:
+    sum_c Diag(m_c)^H . Toep . Diag(m_c)  as an operator tree."""
+    maps = np.asarray(maps)
+    nc = maps.shape[0]
+    img_shape = maps.shape[1:]
+    T = ToeplitzNormal(Tf, img_shape, name="Toeplitz")
+    coils = VStack(
+        [Diag(maps[c].ravel().astype(np.complex64), name=f"Map{c}")
+         for c in range(nc)], name="Coils")
+    return coils.H * KronI(nc, T, name="PerCoil") * coils

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from . import cplx
 from .operators import (
-    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One,
+    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
     Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
 from .sparse import bell_to_csr

@@ -1,0 +1,96 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+(SURVEY.md §4 test plan item 5: multi-chip via
+xla_force_host_platform_device_count — set in conftest.)
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import indigo_tpu as it
+from indigo_tpu.parallel import (
+    make_mesh, sense_normal_batched, batched_cg, sense_batch_recon,
+    fftn_sharded,
+)
+from indigo_tpu.toeplitz import toeplitz_kernel, sense_normal_toeplitz
+from indigo_tpu.utils import rand64c, rel_err
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 virtual devices")
+
+
+@needs8
+def test_make_mesh():
+    mesh = make_mesh(slice=4, coil=2)
+    assert mesh.shape == {"slice": 4, "coil": 2}
+    mesh2 = make_mesh(slice=-1, coil=2)
+    assert mesh2.shape["slice"] == 4
+
+
+def _setup(rng, S=8, nc=4, n=12):
+    img_shape = (n, n)
+    traj = (rng.random((60, 2)) - 0.5)
+    maps = rand64c(nc, *img_shape, rng=rng)
+    Tf = toeplitz_kernel(traj, img_shape, oversamp=2.0, width=6)
+    xs = rand64c(S, n * n, rng=rng)
+    return Tf, maps, xs, img_shape
+
+
+def test_batched_normal_matches_single(rng):
+    """Batched (slice, coil) normal apply == per-slice operator-tree apply."""
+    Tf, maps, xs, img_shape = _setup(rng)
+    out = np.asarray(
+        it.cplx.cjit(sense_normal_batched)(jnp.asarray(Tf), maps, xs))
+    N_single = sense_normal_toeplitz(Tf, maps)
+    for s in range(xs.shape[0]):
+        ref = np.asarray(N_single * xs[s])
+        assert rel_err(out[s], ref) < 1e-5
+
+
+@needs8
+def test_sharded_recon_matches_unsharded(rng):
+    Tf, maps, xs, img_shape = _setup(rng)
+    rhs = xs
+    x_ref, res_ref = sense_batch_recon(Tf, maps, rhs, mesh=None,
+                                       lamda=1.0, iters=15)
+    mesh = make_mesh(slice=4, coil=2)
+    x_sh, res_sh = sense_batch_recon(Tf, maps, rhs, mesh=mesh,
+                                     lamda=1.0, iters=15)
+    assert rel_err(np.asarray(x_sh), np.asarray(x_ref)) < 1e-4
+    assert res_sh.shape == (15, 8)
+
+
+@needs8
+def test_batched_cg_per_slice_convergence(rng):
+    """Each slice solves its own system: perturbing slice 0's rhs must not
+    change slice 1's solution."""
+    Tf, maps, xs, _ = _setup(rng, S=4)
+    mesh = make_mesh(slice=4, coil=2)
+    x1, _ = sense_batch_recon(Tf, maps, xs, mesh=mesh, lamda=1.0, iters=10)
+    xs2 = xs.copy()
+    xs2[0] *= 3.0
+    x2, _ = sense_batch_recon(Tf, maps, xs2, mesh=mesh, lamda=1.0, iters=10)
+    assert rel_err(np.asarray(x2[1]), np.asarray(x1[1])) < 1e-6
+    assert rel_err(np.asarray(x2[0]), 3 * np.asarray(x1[0])) < 1e-5
+
+
+@needs8
+def test_fftn_sharded_matches_fftn(rng):
+    mesh = make_mesh(x=8)
+    v = rand64c(16, 8, 4, rng=rng)
+
+    def run(v):
+        return fftn_sharded(v, mesh, axis_name="x")
+
+    out = it.cplx.cjit(run)(v)
+    ref = np.fft.fftn(v)
+    assert rel_err(np.asarray(out), ref) < 1e-5
+
+    def run_inv(v):
+        return fftn_sharded(v, mesh, axis_name="x", inverse=True)
+
+    out_i = it.cplx.cjit(run_inv)(v)
+    assert rel_err(np.asarray(out_i), np.fft.ifftn(v)) < 1e-5
