@@ -16,8 +16,9 @@ Quick start::
 """
 from . import (
     operators, transforms, analyses, solvers, sparse, utils, cplx,
-    noncart, oracle, models, wavelet, toeplitz, parallel,
+    noncart, oracle, models, wavelet, toeplitz, parallel, backends, native,
 )
+from .backends import get_backend, available_backends
 from .operators import (
     Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
     Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,

@@ -55,13 +55,14 @@ def sort_trajectory(traj, grid_shape):
     return np.argsort(key, kind="stable")
 
 
-def interp_mat(traj, grid_shape, width=4, beta=None, chunk=1 << 16):
+def interp_mat(traj, grid_shape, width=4, beta=None, chunk=1 << 16,
+               impl="auto"):
     """Gridding/interpolation CSR matrix (M, prod(grid_shape)).
 
     Row i holds the KB weights interpolating the *centered* oversampled
     spectrum at grid coordinate traj[i]*G + G/2, with periodic wraparound.
-    Build is vectorized numpy, chunked over rows to bound memory; see
-    indigo_tpu.native for the multithreaded C++ builder used at scale.
+    ``impl``: 'native' (multithreaded C++ builder, indigo_tpu.native),
+    'numpy' (vectorized chunked fallback), or 'auto'.
     """
     traj = np.atleast_2d(np.asarray(traj, dtype=np.float64))
     M, ndim = traj.shape
@@ -70,6 +71,21 @@ def interp_mat(traj, grid_shape, width=4, beta=None, chunk=1 << 16):
     if beta is None:
         beta = beatty_beta(width, 2.0)
     Ntot = int(np.prod(G))
+
+    if impl in ("auto", "native"):
+        from . import native
+        out = native.kb_interp_ell(traj, G, width, float(beta)) \
+            if native.available() else None
+        if out is not None:
+            cols, wts = out
+            row_nnz = cols.shape[1]
+            indptr = np.arange(M + 1, dtype=np.int64) * row_nnz
+            A = sp.csr_matrix(
+                (wts.ravel(), cols.ravel(), indptr), shape=(M, Ntot))
+            A.sum_duplicates()
+            return A
+        if impl == "native":
+            raise RuntimeError("native gridding builder unavailable")
 
     parts = []
     for lo in range(0, M, chunk):
