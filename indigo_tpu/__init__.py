@@ -17,6 +17,7 @@ Quick start::
 from . import (
     operators, transforms, analyses, solvers, sparse, utils, cplx,
     noncart, oracle, models, wavelet, toeplitz, parallel, backends, native,
+    profiling, checkpoint,
 )
 from .backends import get_backend, available_backends
 from .operators import (

@@ -121,6 +121,19 @@ class Backend:
         return cplx.eager_call(
             lambda X: op.One((M, X.shape[0])).apply(X), jnp_or_np(X))
 
+    # ---- device array movement (reference: dndarray.copy_from/copy_to/
+    # to_host; SURVEY.md §1 L1) — jnp arrays ARE the device arrays here.
+    def copy_from(self, host_array):
+        """Host -> device. Complex input is split to re/im f32 pairs (TPU
+        holds no complex buffers); returns a CPair in that case."""
+        return cplx.as_payload(np.asarray(host_array))
+
+    def copy_to(self, device_array):
+        """Device -> host numpy (complex reassembled from pairs)."""
+        return cplx.to_numpy(device_array)
+
+    to_host = copy_to
+
     # ---- misc ----------------------------------------------------------
     rand64c = staticmethod(rand64c)
     randM = staticmethod(randM)

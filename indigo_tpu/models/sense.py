@@ -17,12 +17,12 @@ import numpy as np
 
 from ..operators import (
     Operator, SpMatrix, Diag, UnscaledFFT, KronI, VStack, Scale, Product,
-    CropPad,
+    CropPad, Perm,
 )
 from .. import noncart
 from ..noncart import (
     interp_mat, deapodization, zpad_mat, checkerboard, beatty_beta,
-    sort_trajectory,
+    sort_trajectory, tiled_order, DEFAULT_TILES,
 )
 
 __all__ = [
@@ -64,12 +64,16 @@ class NufftPlan:
 
 
 def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
-             name="NUFFT"):
+             col_tiling=False, name="NUFFT"):
     """Type-2 NUFFT operator A: image -> k-space samples.
 
-    A = G . Fc . Z . Da  with G the KB gridding CSR (as blocked-ELL
-    SpMatrix), Fc the centered FFT on the oversampled grid, Z centered
-    zero-padding, Da the real deapodization diagonal. Returns (A, plan).
+    A = G [. P] . Fc . Z . Da  with G the KB gridding CSR (as blocked-ELL
+    SpMatrix), P (col_tiling=True) an MXU-friendly Morton grid re-tiling
+    permutation (noncart.tiled_order) that packs each KB patch into few
+    128-lane blocks — pays off with the ragged-block Pallas SpMM, not the
+    jnp executor, hence opt-in — Fc the centered FFT on the oversampled
+    grid, Z centered zero-padding, Da the real deapodization diagonal.
+    Returns (A, plan).
 
     Semantics (see noncart module docstring):
         (A x)_i ~= sum_j x[j] exp(-2 pi i k_i . (j - N//2))
@@ -80,20 +84,35 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
     if beta is None:
         beta = beatty_beta(width, oversamp)
 
+    tile = DEFAULT_TILES.get(len(img_shape)) if col_tiling else None
+    if tile is not None and any(g % t for g, t in zip(grid_shape, tile)):
+        tile = None  # grid not tileable; fall back to row-major columns
+
     if sort:
-        perm = sort_trajectory(traj, grid_shape)
+        perm = sort_trajectory(traj, grid_shape, tile=tile)
         traj_s = traj[perm]
     else:
         perm = np.arange(len(traj))
         traj_s = traj
 
-    G = SpMatrix(interp_mat(traj_s, grid_shape, width=width, beta=beta),
-                 name="Gridding")
+    Gcsr = interp_mat(traj_s, grid_shape, width=width, beta=beta)
+    chain = []
+    if tile is not None:
+        cperm = tiled_order(grid_shape, tile)
+        inv = np.empty_like(cperm)
+        inv[cperm] = np.arange(len(cperm))
+        Gcsr = Gcsr.tocsr(copy=True)
+        Gcsr.indices = inv[Gcsr.indices].astype(Gcsr.indices.dtype)
+        Gcsr.has_sorted_indices = False
+        chain.append(Perm(cperm, name="GridTiling"))
+    G = SpMatrix(Gcsr, name="Gridding")
     Fc = centered_fft_op(grid_shape)
     Z = CropPad(img_shape, grid_shape, name="Zpad")
     Da = Diag(deapodization(img_shape, grid_shape, width=width, beta=beta),
               name="Deapod")
-    A = (G * Fc * Z * Da)
+    A = G
+    for opn in chain + [Fc, Z, Da]:
+        A = A * opn
     A._name = name
     plan = NufftPlan(img_shape, grid_shape, traj_s, width, float(beta),
                      perm, float(oversamp))

@@ -25,8 +25,60 @@ import scipy.sparse as sp
 
 __all__ = [
     "kaiser_bessel", "beatty_beta", "interp_mat", "deapodization",
-    "zpad_mat", "checkerboard", "sort_trajectory",
+    "zpad_mat", "checkerboard", "sort_trajectory", "pipe_menon_dcf",
+    "tiled_order", "DEFAULT_TILES",
 ]
+
+# Column-retiling tiles: 128 grid nodes per lane-block, shaped so a KB patch
+# (width^d nodes) touches few blocks. Chosen per rank.
+DEFAULT_TILES = {1: (128,), 2: (8, 16), 3: (4, 4, 8)}
+
+
+def _morton_key(coords):
+    """Interleave the bits of integer coordinate arrays (d, n) -> (n,)."""
+    coords = np.asarray(coords, dtype=np.uint64)
+    d, n = coords.shape
+    nbits = max(1, int(np.max(coords)).bit_length()) if coords.size else 1
+    key = np.zeros(n, dtype=np.uint64)
+    for b in range(nbits):
+        for axis in range(d):
+            bit = (coords[axis] >> np.uint64(b)) & np.uint64(1)
+            key |= bit << np.uint64(b * d + (d - 1 - axis))
+    return key
+
+
+def tiled_order(grid_shape, tile=None):
+    """Permutation ordering grid nodes tile-by-tile, tiles in Morton order.
+
+    Row-major linearization spreads a KB interpolation patch (w consecutive
+    nodes in the last axis times w rows/planes) across w..w^2 different
+    128-node lane blocks; ordering the grid in (e.g.) 4x4x8 tiles packs a
+    patch into ~2^d blocks. Tiles themselves follow a Morton (Z-order)
+    curve so spatial neighbors stay close in memory — this is what keeps
+    the *adjoint* tiling dense too. Apply as G[:, perm] on the matrix and a
+    Perm operator on the grid vector.
+    """
+    grid_shape = tuple(int(g) for g in grid_shape)
+    nd = len(grid_shape)
+    if tile is None:
+        tile = DEFAULT_TILES[nd]
+    tile = tuple(int(t) for t in tile)
+    for g, t in zip(grid_shape, tile):
+        if g % t:
+            raise ValueError(f"grid {grid_shape} not divisible by tile {tile}")
+    nblocks = tuple(g // t for g, t in zip(grid_shape, tile))
+    bidx = np.indices(nblocks).reshape(nd, -1)
+    morder = np.argsort(_morton_key(bidx), kind="stable")
+    # node index array grouped as (blocks..., intra...)
+    idx = np.arange(int(np.prod(grid_shape))).reshape(grid_shape)
+    blk = []
+    for g, t in zip(grid_shape, tile):
+        blk.extend([g // t, t])
+    v = idx.reshape(blk)
+    order = list(range(0, 2 * nd, 2)) + list(range(1, 2 * nd, 2))
+    v = np.ascontiguousarray(v.transpose(order)).reshape(
+        int(np.prod(nblocks)), int(np.prod(tile)))
+    return v[morder].ravel()
 
 
 def kaiser_bessel(t, width, beta):
@@ -43,15 +95,24 @@ def beatty_beta(width, oversamp):
         (width / oversamp) ** 2 * (oversamp - 0.5) ** 2 - 0.8)
 
 
-def sort_trajectory(traj, grid_shape):
-    """Permutation sorting samples by (row-major) grid cell for locality."""
+def sort_trajectory(traj, grid_shape, tile=None):
+    """Permutation sorting samples by grid cell for locality.
+
+    With ``tile``, samples are sorted by their cell's *tile block* (matching
+    tiled_order's column layout) so nearby samples hit the same lane blocks.
+    """
     traj = np.asarray(traj)
     G = np.asarray(grid_shape)
     c = (traj + 0.5) % 1.0 * G  # cell coordinate in [0, G)
     cell = np.floor(c).astype(np.int64)
-    key = np.zeros(len(traj), dtype=np.int64)
-    for d in range(traj.shape[1]):
-        key = key * G[d] + cell[:, d]
+    if tile is not None:
+        blocks = np.stack([cell[:, d] // tile[d]
+                           for d in range(traj.shape[1])])
+        key = _morton_key(blocks)
+    else:
+        key = np.zeros(len(traj), dtype=np.int64)
+        for d in range(traj.shape[1]):
+            key = key * G[d] + cell[:, d]
     return np.argsort(key, kind="stable")
 
 
@@ -150,6 +211,24 @@ def zpad_mat(img_shape, grid_shape):
     return sp.csr_matrix(
         (np.ones(n, np.float32), (lin, np.arange(n))),
         shape=(int(np.prod(grid_shape)), n))
+
+
+def pipe_menon_dcf(traj, grid_shape, width=4, beta=None, iters=30):
+    """Density-compensation weights by Pipe-Menon fixed point (host-side).
+
+    w_{k+1} = w_k / (G G^H w_k): after convergence, gridding with weights w
+    approximates a flat density. Returns float32 weights (M,). Standard
+    companion to the gridding builder for adjoint-NUFFT reconstruction.
+    """
+    G = interp_mat(traj, grid_shape, width=width, beta=beta)
+    M = G.shape[0]
+    w = np.ones(M, dtype=np.float64)
+    for _ in range(iters):
+        d = G @ (G.conj().T @ w)
+        d = np.abs(np.asarray(d).ravel())
+        w = w / np.maximum(d, 1e-12)
+    # normalize so DC gets unit total weight density
+    return (w / w.max()).astype(np.float32)
 
 
 def checkerboard(shape, shifted=False):

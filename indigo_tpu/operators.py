@@ -35,7 +35,7 @@ from .sparse import BlockedELL, csr_to_bell, bell_spmm
 
 __all__ = [
     "Operator",
-    "SpMatrix", "DenseMatrix", "Diag", "UnscaledFFT", "Eye", "One", "CropPad",
+    "SpMatrix", "DenseMatrix", "Diag", "UnscaledFFT", "Eye", "One", "CropPad", "Perm",
     "Product", "Adjoint", "KronI", "BlockDiag", "VStack", "HStack", "Scale",
 ]
 
@@ -422,6 +422,54 @@ class One(Operator):
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj._shape, dtype, obj._name = aux
+        obj._dtype = jnp.dtype(dtype)
+        return obj
+
+
+@register_pytree_node_class
+class Perm(Operator):
+    """Permutation operator: y = x[perm]; adjoint is the inverse gather.
+
+    Used to re-tile the oversampled grid into MXU-friendly column order for
+    the gridding SpMM (see noncart.tiled_order) — a single cheap gather pass
+    instead of 100x structural zero-fill in the ELL tiles. Both directions
+    are gathers (never scatters) on TPU.
+    """
+
+    def __init__(self, perm, dtype=jnp.complex64, name=None):
+        perm = np.asarray(perm)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        self._p = jnp.asarray(perm, dtype=jnp.int32)
+        self._ip = jnp.asarray(inv, dtype=jnp.int32)
+        self._dtype = jnp.dtype(dtype)
+        self._name = name
+
+    @property
+    def shape(self):
+        n = self._p.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def perm(self):
+        return self._p
+
+    def apply(self, x, adjoint=False):
+        idx = self._ip if adjoint else self._p
+        return jnp.take(x, idx, axis=0)
+
+    def tree_flatten(self):
+        return (self._p, self._ip), (str(self._dtype), self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._p, obj._ip = children
+        dtype, obj._name = aux
         obj._dtype = jnp.dtype(dtype)
         return obj
 

@@ -1,0 +1,112 @@
+"""Profiling, timing and roofline reporting.
+
+Reference parity: indigo/util.py Timer + per-iteration residual logging
+(SURVEY.md §5 "Tracing/profiling"). TPU-native additions: jax.profiler
+trace capture (XProf/Perfetto), a transfer-proof timing harness (this
+sandbox's runtime neither synchronizes on block_until_ready nor transfers
+faster than ~27MB/s, so naive timing lies), and a bytes/FLOPs roofline
+report per operator apply.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import cplx
+from .analyses import apply_cost
+from .operators import Operator
+
+__all__ = ["trace", "time_apply", "roofline_report", "HBM_BYTES_PER_SEC"]
+
+# v5e HBM bandwidth (bytes/sec); override for other parts.
+HBM_BYTES_PER_SEC = 819e9
+
+
+@contextlib.contextmanager
+def trace(logdir):
+    """Capture a jax.profiler trace (view with XProf/TensorBoard)."""
+    jax.profiler.start_trace(str(logdir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _iterated_apply(op, k, adjoint_pair=True):
+    """jitted fn running k applications of op (normal-op round trips when
+    adjoint_pair, so shapes stay fixed) and returning a scalar."""
+
+    @jax.jit
+    def f(op, xr, xi):
+        def step(c, _):
+            v = lax.complex(c[0], c[1])
+            y = op.apply(v)
+            if adjoint_pair:
+                y = op.apply(y, adjoint=True)
+            return (y.real.astype(jnp.float32),
+                    y.imag.astype(jnp.float32)), None
+
+        c, _ = lax.scan(step, (xr, xi), None, length=k)
+        return jnp.sum(c[0])
+
+    return f
+
+
+def time_apply(op: Operator, ncols=1, k1=2, k2=6, adjoint_pair=True,
+               seed=0):
+    """Wall time per operator apply, transfer-proof.
+
+    Runs k1 and k2 chained applies inside single jits and reports
+    (t(k2)-t(k1))/(k2-k1): upload, fetch latency and dispatch overhead
+    cancel. With adjoint_pair=True each "apply" is a forward+adjoint pair
+    (required when op is non-square so shapes chain).
+    """
+    if op.shape[0] != op.shape[1] and not adjoint_pair:
+        raise ValueError("non-square operator needs adjoint_pair=True")
+    rng = np.random.default_rng(seed)
+    n = op.shape[1]
+    xr = jnp.asarray(rng.standard_normal((n, ncols)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((n, ncols)).astype(np.float32))
+    f1 = _iterated_apply(op, k1, adjoint_pair)
+    f2 = _iterated_apply(op, k2, adjoint_pair)
+
+    def run(f):
+        t0 = time.perf_counter()
+        np.asarray(f(op, xr, xi))
+        return time.perf_counter() - t0
+
+    run(f1)
+    run(f2)  # compile + warm both
+    t1 = run(f1)
+    t2 = run(f2)
+    per = max((t2 - t1) / (k2 - k1), 1e-9)
+    return per / (2 if adjoint_pair else 1)
+
+
+def roofline_report(op: Operator, ncols=1, measure=True):
+    """Per-apply FLOPs/bytes estimate and (optionally) measured time vs the
+    HBM speed-of-light (north star: 'per-apply time at roofline')."""
+    flops, bytes_ = apply_cost(op, ncols)
+    sol = bytes_ / HBM_BYTES_PER_SEC
+    lines = [
+        f"operator: {op.name} {op.shape} x {ncols} cols",
+        f"est. flops/apply:  {flops:,}",
+        f"est. bytes/apply:  {bytes_:,}",
+        f"HBM speed-of-light: {sol*1e3:.3f} ms",
+    ]
+    result = {"flops": flops, "bytes": bytes_, "sol_sec": sol}
+    if measure:
+        t = time_apply(op, ncols)
+        result["measured_sec"] = t
+        result["roofline_frac"] = sol / t if t else 0.0
+        lines += [
+            f"measured/apply:    {t*1e3:.3f} ms",
+            f"roofline fraction: {100*result['roofline_frac']:.1f}%",
+        ]
+    return result, "\n".join(lines)

@@ -45,7 +45,8 @@ def _vdot(a, b):
     return jnp.real(jnp.vdot(a.ravel(), b.ravel()))
 
 
-def cg(A, b, x0=None, lamda=0.0, tol=1e-6, maxiter=100, history=False):
+def cg(A, b, x0=None, lamda=0.0, tol=1e-6, maxiter=100, history=False,
+       precond=None):
     """Conjugate Gradient for Hermitian positive-definite ``A`` (+ lamda*I).
 
     Solves (A + lamda*I) x = b. Reference parity: ``Backend.cg`` with optional
@@ -65,7 +66,12 @@ def cg(A, b, x0=None, lamda=0.0, tol=1e-6, maxiter=100, history=False):
     traced = any(isinstance(l, jax.core.Tracer) for l in leaves)
     if traced or cplx.supports_complex_buffers():
         return _cg_core(A, b, x0, lamda=lamda, tol=tol, maxiter=maxiter,
-                        history=history)
+                        history=history, precond=precond)
+    if precond is not None:
+        # callables aren't cache keys; one-shot complex-safe jit
+        return cplx.eager_call(
+            partial(_cg_core, lamda=lamda, tol=tol, maxiter=maxiter,
+                    history=history, precond=precond), A, b, x0)
     # Eager on a complex-incapable backend: compile once per (solver config),
     # cached so repeated solves hit the same executable.
     fn = _cg_cjit(float(lamda), float(tol), int(maxiter), bool(history))
@@ -78,7 +84,7 @@ def _cg_cjit(lamda, tol, maxiter, history):
                              maxiter=maxiter, history=history))
 
 
-def _cg_core(A, b, x0=None, *, lamda, tol, maxiter, history):
+def _cg_core(A, b, x0=None, *, lamda, tol, maxiter, history, precond=None):
     mv = _as_matvec(A)
     b = jnp.asarray(b)
     if x0 is None:
@@ -90,48 +96,57 @@ def _cg_core(A, b, x0=None, *, lamda, tol, maxiter, history):
             Av = Av + lamda * v
         return Av
 
+    applyM = _as_matvec(precond) if precond is not None else (lambda r: r)
+
     bnorm = jnp.sqrt(_vdot(b, b))
     bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
     r0 = b - matvec(x0)
+    z0 = applyM(r0)
+    rz0 = _vdot(r0, z0)
     rs0 = _vdot(r0, r0)
 
-    def step(x, r, p, rs):
+    # Preconditioned CG; with precond=None, z == r and this is textbook CG.
+    def step(x, r, p, rz):
         Ap = matvec(p)
-        alpha = rs / _vdot(p, Ap)
+        alpha = rz / _vdot(p, Ap)
         x = x + alpha.astype(x.dtype) * p
         r = r - alpha.astype(r.dtype) * Ap
-        rs_new = _vdot(r, r)
-        beta = rs_new / rs
-        p = r + beta.astype(p.dtype) * p
-        return x, r, p, rs_new
+        z = applyM(r)
+        rz_new = _vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta.astype(p.dtype) * p
+        return x, r, p, rz_new, _vdot(r, r)
 
     if history:
         def body(carry, _):
-            x, r, p, rs, k, done = carry
-            xn, rn, pn, rsn = step(x, r, p, rs)
+            x, r, p, rz, rs, k, done = carry
+            xn, rn, pn, rzn, rsn = step(x, r, p, rz)
             new_done = done | (jnp.sqrt(rsn) <= tol * bnorm)
-            x, r, p, rs = jax.tree.map(
+            x, r, p, rz, rs = jax.tree.map(
                 lambda new, old: jnp.where(done, old, new),
-                (xn, rn, pn, rsn), (x, r, p, rs))
+                (xn, rn, pn, rzn, rsn), (x, r, p, rz, rs))
             k = jnp.where(done, k, k + 1)
-            return (x, r, p, rs, k, new_done), jnp.sqrt(rs) / bnorm
+            return (x, r, p, rz, rs, k, new_done), jnp.sqrt(rs) / bnorm
 
-        (x, r, p, rs, k, _), resids = lax.scan(
-            body, (x0, r0, r0, rs0, jnp.int32(0), jnp.sqrt(rs0) <= tol * bnorm),
+        (x, r, p, rz, rs, k, _), resids = lax.scan(
+            body,
+            (x0, r0, z0, rz0, rs0, jnp.int32(0),
+             jnp.sqrt(rs0) <= tol * bnorm),
             None, length=maxiter)
         info = {"iters": k, "resid": jnp.sqrt(rs) / bnorm, "resids": resids}
         return x, info
 
     def cond(state):
-        _, _, _, rs, k = state
+        _, _, _, _, rs, k = state
         return (k < maxiter) & (jnp.sqrt(rs) > tol * bnorm)
 
     def body(state):
-        x, r, p, rs, k = state
-        x, r, p, rs = step(x, r, p, rs)
-        return (x, r, p, rs, k + 1)
+        x, r, p, rz, rs, k = state
+        x, r, p, rz, rs = step(x, r, p, rz)
+        return (x, r, p, rz, rs, k + 1)
 
-    x, r, p, rs, k = lax.while_loop(cond, body, (x0, r0, r0, rs0, jnp.int32(0)))
+    x, r, p, rz, rs, k = lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, rs0, jnp.int32(0)))
     return x, {"iters": k, "resid": jnp.sqrt(rs) / bnorm}
 
 
