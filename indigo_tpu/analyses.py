@@ -61,8 +61,9 @@ def apply_cost(op: Operator, ncols: int = 1):
         if isinstance(node, SpMatrix):
             ell = node.ell
             stored = ell.data.size
-            flops = 8 * stored * K  # MXU does the whole padded tile
-            bytes_ = (ell.data.nbytes + ell.cols.nbytes
+            flops = 8 * stored * K  # MXU does the whole stored tile
+            idx_bytes = ell.memusage() - ell.data.nbytes
+            bytes_ = (ell.data.nbytes + idx_bytes
                       + (node.shape[0] + node.shape[1]) * K * isz)
             return flops, bytes_
         if isinstance(node, Diag):

@@ -31,7 +31,7 @@ from jax.tree_util import register_pytree_node_class
 
 from . import cplx
 from .cplx import as_payload, unpack, iscpair, CPair
-from .sparse import BlockedELL, csr_to_bell, bell_spmm
+from .sparse import BlockedELL, BlockedJag, csr_to_bell, csr_to_jag, bell_spmm
 
 __all__ = [
     "Operator",
@@ -175,13 +175,15 @@ class SpMatrix(Operator):
     directions are gather-shaped on TPU (SURVEY.md §7 step 5).
     """
 
-    def __init__(self, A, name=None, bm=8, bn=128, _ell=None, _ellH=None):
+    def __init__(self, A, name=None, bm=8, bn=128, format="jag",
+                 _ell=None, _ellH=None):
         if _ell is not None:
             self._ell, self._ellH = _ell, _ellH
         else:
             A = spsparse.csr_matrix(A)
-            self._ell = csr_to_bell(A, bm=bm, bn=bn)
-            self._ellH = csr_to_bell(A.conj().T.tocsr(), bm=bm, bn=bn)
+            conv = csr_to_jag if format == "jag" else csr_to_bell
+            self._ell = conv(A, bm=bm, bn=bn)
+            self._ellH = conv(A.conj().T.tocsr(), bm=bm, bn=bn)
         self._name = name
 
     @property

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..sparse import BlockedELL, bell_spmm
+from ..sparse import BlockedELL, BlockedJag, bell_spmm, jag_spmm
 
 __all__ = ["spmm", "use_pallas", "set_spmm_impl"]
 
@@ -32,21 +32,28 @@ def use_pallas():
         return False
 
 
-def spmm(ell: BlockedELL, x, impl=None):
-    """y = A @ x for a BlockedELL A; dispatches to the fastest available path.
+def spmm(A, x, impl=None):
+    """y = A @ x for a BlockedJag or BlockedELL A; picks the fastest path.
 
-    The Pallas kernel is float32-only (TPU tiles); complex inputs against a
-    real matrix are handled by folding real/imag into extra batch columns,
-    which is exact. Complex-valued matrices take the jnp path.
+    The Pallas kernels are float32-only (TPU tiles); complex inputs against
+    a real matrix are handled by folding real/imag into extra batch columns,
+    which is exact. Complex-valued matrices take the jnp path. Jag matrices
+    whose block index arrays exceed the SMEM scalar-prefetch budget also
+    fall back to jnp.
     """
     impl = impl or _SPMM_IMPL
+    is_jag = isinstance(A, BlockedJag)
+    jnp_path = jag_spmm if is_jag else bell_spmm
     want_pallas = impl == "pallas" or (impl == "auto" and use_pallas())
-    if want_pallas and not jnp.iscomplexobj(ell.data):
-        from .ell_spmm import ell_spmm_pallas
+    if is_jag and not A.smem_ok():
+        want_pallas = False
+    if want_pallas and not jnp.iscomplexobj(A.data):
+        from .ell_spmm import ell_spmm_pallas, jag_spmm_pallas
+        kernel = jag_spmm_pallas if is_jag else ell_spmm_pallas
         if jnp.iscomplexobj(x):
             K = x.shape[1]
             xr = jnp.concatenate([x.real, x.imag], axis=1)
-            yr = ell_spmm_pallas(ell, xr.astype(jnp.float32))
+            yr = kernel(A, xr.astype(jnp.float32))
             return jax.lax.complex(yr[:, :K], yr[:, K:])
-        return ell_spmm_pallas(ell, x.astype(jnp.float32))
-    return bell_spmm(ell, x)
+        return kernel(A, x.astype(jnp.float32))
+    return jnp_path(A, x)

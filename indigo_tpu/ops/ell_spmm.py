@@ -31,9 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse import BlockedELL
+from ..sparse import BlockedELL, BlockedJag
 
-__all__ = ["ell_spmm_pallas"]
+__all__ = ["ell_spmm_pallas", "jag_spmm_pallas"]
 
 
 def _kernel(cols_ref, data_ref, x_ref, out_ref):
@@ -84,6 +84,74 @@ def _ell_spmm_call(data, cols, xb, interpret=False):
         interpret=interpret,
     )(cols.reshape(-1), data, xb)
     return out
+
+
+def _jag_kernel(brows_ref, bcols_ref, data_ref, x_ref, out_ref):
+    i = pl.program_id(0)
+    prev = brows_ref[jnp.maximum(i - 1, 0)]
+    first = (i == 0) | (brows_ref[i] != prev)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[0] += jnp.dot(
+        data_ref[0], x_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("R", "interpret"))
+def _jag_spmm_call(data, bcols, brows, xb, R, interpret=False):
+    NB, bm, bn = data.shape
+    C, _, K = xb.shape
+    out = pl.pallas_call(
+        _jag_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec((1, bm, bn),
+                             lambda i, brows, bcols: (i, 0, 0)),
+                pl.BlockSpec((1, bn, K),
+                             lambda i, brows, bcols: (bcols[i], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, K),
+                                   lambda i, brows, bcols: (brows[i], 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, bm, K), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * NB * bm * bn * K,
+            bytes_accessed=data.nbytes + NB * bn * K * 4 + R * bm * K * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(brows, bcols, data, xb)
+    return out
+
+
+def jag_spmm_pallas(jag: BlockedJag, x, interpret=None):
+    """y = A @ x for float32 BlockedJag A and float32 x of shape (N, K).
+
+    The grid runs over stored blocks (ragged — no ELL padding is ever read);
+    the output block stays VMEM-resident while consecutive grid steps share
+    a block-row (brows is sorted), and is zeroed on first visit. Block
+    row/column indices ride the scalar-prefetch SMEM path and drive the
+    x-slab DMA, so x itself stays in HBM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, N = jag.shape
+    bm, bn, R, C = jag.bm, jag.bn, jag.R, jag.C
+    K = x.shape[1]
+    pad_rows = C * bn - x.shape[0]
+    if pad_rows:
+        x = jnp.pad(x, ((0, pad_rows), (0, 0)))
+    xb = x.reshape(C, bn, K)
+    y = _jag_spmm_call(jag.data, jag.bcols, jag.brows, xb, R,
+                       interpret=interpret)
+    return y.reshape(R * bm, K)[:M]
 
 
 def ell_spmm_pallas(ell: BlockedELL, x, interpret=None):

@@ -25,7 +25,10 @@ from jax.tree_util import register_pytree_node_class
 
 from .cplx import as_payload, unpack, to_numpy, iscpair
 
-__all__ = ["BlockedELL", "csr_to_bell", "bell_spmm", "bell_to_csr"]
+__all__ = [
+    "BlockedELL", "csr_to_bell", "bell_spmm", "bell_to_csr",
+    "BlockedJag", "csr_to_jag", "jag_spmm", "jag_to_csr",
+]
 
 
 @register_pytree_node_class
@@ -165,6 +168,173 @@ def bell_to_csr(ell):
     vals = data.reshape(-1)
     keep = (vals != 0) & (rows < M) & (ccols < N)
     return sp.coo_matrix((vals[keep], (rows[keep], ccols[keep])), shape=(M, N)).tocsr()
+
+
+@register_pytree_node_class
+class BlockedJag:
+    """Ragged blocked-CSR: variable blocks per block-row (no ELL padding).
+
+    data:  (NB, bm, bn) dense blocks (float32 or CPair)
+    bcols: (NB,) int32 column-block index of each stored block
+    brows: (NB,) int32 row-block index, NON-DECREASING; every block-row in
+           [0, R) appears at least once (empty rows carry one zero block),
+           which lets the Pallas kernel zero its output on first visit.
+
+    Storage is sum_r W_r blocks instead of ELL's R * max_r W_r — for
+    irregular NUFFT adjoints that's a 10-30x reduction (measured: radial 2D
+    adjoint Wmax=101 vs Wmean=3.2).
+    """
+
+    def __init__(self, data, bcols, brows, shape, nnz=0):
+        self.data = data
+        self.bcols = bcols
+        self.brows = brows
+        self.shape = tuple(int(s) for s in shape)
+        self.nnz = int(nnz)
+
+    @property
+    def bm(self):
+        return self.data.shape[1]
+
+    @property
+    def bn(self):
+        return self.data.shape[2]
+
+    @property
+    def NB(self):
+        return self.data.shape[0]
+
+    @property
+    def R(self):
+        return max(1, -(-self.shape[0] // self.bm))
+
+    @property
+    def C(self):
+        return max(1, -(-self.shape[1] // self.bn))
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def memusage(self):
+        return self.data.nbytes + self.bcols.nbytes + self.brows.nbytes
+
+    def fill_fraction(self):
+        stored = self.data.size
+        return self.nnz / stored if stored else 0.0
+
+    def smem_ok(self, budget_bytes=400 * 1024):
+        """Do brows+bcols fit the Pallas scalar-prefetch SMEM budget?"""
+        return 2 * 4 * self.NB <= budget_bytes
+
+    def tree_flatten(self):
+        return (self.data, self.bcols, self.brows), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.data, obj.bcols, obj.brows = children
+        obj.shape, obj.nnz = aux
+        return obj
+
+    def __repr__(self):
+        return (
+            f"BlockedJag(shape={self.shape}, NB={self.NB}, "
+            f"tile=({self.bm},{self.bn}), dtype={self.data.dtype}, "
+            f"nnz={self.nnz}, fill={self.fill_fraction():.4f})"
+        )
+
+
+def csr_to_jag(A, bm=8, bn=128, dtype=None, auto_bm=True,
+               smem_budget=400 * 1024):
+    """scipy sparse -> BlockedJag (host-side, vectorized numpy).
+
+    With ``auto_bm``, bm doubles (up to 128) until the block index arrays
+    fit the Pallas SMEM budget, trading a little fill for kernel coverage.
+    """
+    A = sp.coo_matrix(A)
+    M, N = A.shape
+    if dtype is None:
+        dtype = np.complex64 if np.iscomplexobj(A.data) else np.float32
+
+    while True:
+        R = max(1, -(-M // bm) if M else 1)
+        C = max(1, -(-N // bn) if N else 1)
+        if A.nnz == 0:
+            data = np.zeros((R, bm, bn), dtype=dtype)
+            return BlockedJag(as_payload(data),
+                              jnp.zeros((R,), jnp.int32),
+                              jnp.asarray(np.arange(R, dtype=np.int32)),
+                              (M, N), nnz=0)
+        rows = A.row.astype(np.int64)
+        colsx = A.col.astype(np.int64)
+        brow = rows // bm
+        bcol = colsx // bn
+        key = brow * C + bcol
+        ukey, inv = np.unique(key, return_inverse=True)
+        ubrow = (ukey // C).astype(np.int64)
+        # add one zero block for every empty block-row
+        missing = np.setdiff1d(np.arange(R, dtype=np.int64), ubrow,
+                               assume_unique=False)
+        NB = len(ukey) + len(missing)
+        if auto_bm and 2 * 4 * NB > smem_budget and bm < 128:
+            bm *= 2
+            continue
+        break
+
+    all_brow = np.concatenate([ubrow, missing])
+    all_bcol = np.concatenate([(ukey % C).astype(np.int64),
+                               np.zeros(len(missing), np.int64)])
+    order = np.argsort(all_brow, kind="stable")
+    all_brow = all_brow[order]
+    all_bcol = all_bcol[order]
+    # position of each original unique block after the sort
+    pos = np.empty(NB, dtype=np.int64)
+    pos[order] = np.arange(NB)
+    blk_of_nnz = pos[inv]
+
+    vals = A.data.astype(dtype)
+    data = np.zeros((NB, bm, bn), dtype=dtype)
+    np.add.at(data, (blk_of_nnz, rows % bm, colsx % bn), vals)
+    return BlockedJag(
+        as_payload(data),
+        jnp.asarray(all_bcol.astype(np.int32)),
+        jnp.asarray(all_brow.astype(np.int32)),
+        (M, N), nnz=int(A.nnz))
+
+
+def jag_to_csr(jag):
+    """Inverse conversion (testing): BlockedJag -> scipy CSR."""
+    data = to_numpy(jag.data)
+    bcols = np.asarray(jag.bcols)
+    brows = np.asarray(jag.brows)
+    NB, bm, bn = data.shape
+    M, N = jag.shape
+    b = np.repeat(np.arange(NB), bm * bn)
+    rr = np.tile(np.repeat(np.arange(bm), bn), NB)
+    cc = np.tile(np.arange(bn), NB * bm)
+    rows = brows[b] * bm + rr
+    ccols = bcols[b] * bn + cc
+    vals = data.reshape(-1)
+    keep = (vals != 0) & (rows < M) & (ccols < N)
+    return sp.coo_matrix((vals[keep], (rows[keep], ccols[keep])),
+                         shape=(M, N)).tocsr()
+
+
+def jag_spmm(jag, x, precision="highest"):
+    """y = A @ x for BlockedJag A — pure-jnp path (gather + segment_sum)."""
+    M, N = jag.shape
+    K = x.shape[1]
+    bm, bn, R, C = jag.bm, jag.bn, jag.R, jag.C
+    out_dtype = jnp.result_type(jag.data.dtype, x.dtype)
+    data = unpack(jag.data)
+    xb = _pad_rows(x, C * bn).reshape(C, bn, K)
+    g = xb[jag.bcols]  # (NB, bn, K)
+    prod = jnp.einsum("nmb,nbk->nmk", data, g,
+                      precision=precision).astype(out_dtype)
+    y = jax.ops.segment_sum(prod, jag.brows, num_segments=R,
+                            indices_are_sorted=True)
+    return y.reshape(R * bm, K)[:M]
 
 
 def _pad_rows(x, n_padded):

@@ -28,7 +28,7 @@ from .operators import (
     Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
     Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
-from .sparse import bell_to_csr
+from .sparse import bell_to_csr, jag_to_csr, BlockedJag
 
 __all__ = [
     "Visitor", "Transform",
@@ -162,6 +162,8 @@ def _to_scipy(node):
     Scale/Adjoint thereof. Dense and FFT leaves are never realized.
     """
     if isinstance(node, SpMatrix):
+        if isinstance(node.ell, BlockedJag):
+            return jag_to_csr(node.ell)
         return bell_to_csr(node.ell)
     if isinstance(node, Diag):
         return sp.diags(cplx.to_numpy(node.payload)).tocsr()

@@ -1,0 +1,80 @@
+"""Ragged blocked-CSR (BlockedJag) conversion + SpMM vs scipy oracle."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from indigo_tpu.sparse import csr_to_jag, jag_to_csr, jag_spmm
+from indigo_tpu.ops.ell_spmm import jag_spmm_pallas
+from indigo_tpu.ops import spmm, set_spmm_impl
+from indigo_tpu.utils import rand64c, randM, rel_err
+
+
+@pytest.mark.parametrize("m,n,density", [
+    (8, 128, 0.5), (100, 300, 0.05), (257, 129, 0.02), (64, 64, 0.0),
+])
+@pytest.mark.parametrize("dtype", [np.float32, np.complex64])
+def test_roundtrip(m, n, density, dtype, rng):
+    A = randM(m, n, density, rng=rng, dtype=dtype)
+    jag = csr_to_jag(A)
+    B = jag_to_csr(jag)
+    assert (abs(A - B)).max() < 1e-6 if A.nnz else B.nnz == 0
+    assert jag.nnz == A.nnz
+    # brows sorted and covers all block rows
+    brows = np.asarray(jag.brows)
+    assert (np.diff(brows) >= 0).all()
+    assert set(brows.tolist()) == set(range(jag.R))
+
+
+@pytest.mark.parametrize("m,n,k", [(100, 300, 1), (300, 100, 7), (8, 8, 3)])
+@pytest.mark.parametrize("dtype", [np.float32, np.complex64])
+def test_jag_spmm_jnp(m, n, k, dtype, rng):
+    A = randM(m, n, 0.05, rng=rng, dtype=dtype)
+    x = rand64c(n, k, rng=rng)
+    if dtype == np.float32:
+        x = x.real.copy()
+    y = np.asarray(jag_spmm(csr_to_jag(A), x))
+    assert rel_err(y, A @ x) < 1e-6
+
+
+@pytest.mark.parametrize("m,n,k,density", [
+    (64, 256, 8, 0.05), (100, 300, 4, 0.02), (257, 640, 16, 0.01),
+    (40, 1000, 8, 0.001),   # many empty block rows
+])
+def test_jag_pallas_vs_scipy(m, n, k, density, rng):
+    A = randM(m, n, density, rng=rng, dtype=np.float32)
+    x = rng.standard_normal((n, k), dtype=np.float32)
+    jag = csr_to_jag(A)
+    y = np.asarray(jag_spmm_pallas(jag, x, interpret=True))
+    assert rel_err(y, A @ x) < 1e-5
+
+
+def test_jag_empty_rows_zeroed(rng):
+    """Rows with no nonzeros must come out exactly zero (first-visit init)."""
+    A = sp.csr_matrix((np.ones(1, np.float32), ([17], [5])), shape=(64, 256))
+    jag = csr_to_jag(A)
+    x = rng.standard_normal((256, 4), dtype=np.float32)
+    y = np.asarray(jag_spmm_pallas(jag, x, interpret=True))
+    assert (y[0:8] == 0).all() and (y[32:] == 0).all()
+    assert rel_err(y, (A @ x)) < 1e-6
+
+
+def test_auto_bm_smem(rng):
+    """Very wide sparse matrix: auto_bm grows bm until indices fit SMEM."""
+    A = randM(120000, 4000, 0.0005, rng=rng, dtype=np.float32)
+    jag = csr_to_jag(A, smem_budget=64 * 1024)
+    assert jag.smem_ok(64 * 1024) or jag.bm == 128
+    y = np.asarray(jag_spmm(jag, np.ones((4000, 2), np.float32)))
+    ref = A @ np.ones((4000, 2), np.float32)
+    assert rel_err(y, ref) < 1e-5
+
+
+def test_spmm_dispatch_jag_complex(rng):
+    A = randM(60, 200, 0.05, rng=rng, dtype=np.float32)
+    x = rand64c(200, 3, rng=rng)
+    jag = csr_to_jag(A)
+    set_spmm_impl("pallas")
+    try:
+        y = np.asarray(spmm(jag, x))
+    finally:
+        set_spmm_impl("auto")
+    assert rel_err(y, A @ x) < 1e-5
