@@ -128,7 +128,9 @@ def main():
     big = int(np.prod(Tf.shape))
     npx = int(np.prod(img_shape))
     cplx_b = 8
-    fft_bytes = 2 * 3 * 2 * big * nc * cplx_b  # fwd+inv, ~3 passes, r+w
+    # fwd+inv, ~3 passes each, read+write; x0.58 for the zero-aware padded
+    # transforms (ops/toeplitz_fft.py) that never touch the padding zeros
+    fft_bytes = int(0.58 * 2 * 3 * 2 * big * nc * cplx_b)
     other = (4 * npx * nc + 6 * npx) * cplx_b + big * 4
     bytes_per_iter = fft_bytes + other
     hbm = 819e9  # v5e HBM bandwidth

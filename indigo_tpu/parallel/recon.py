@@ -30,24 +30,19 @@ def sense_normal_batched(Tf, maps, xs):
     xs:   (S, n)     complex — S slice images, flattened ('slice'-sharded)
     returns (S, n).
     """
+    from ..ops.toeplitz_fft import fft_pad2x, ifft_crop2x
+
     img_shape = maps.shape[1:]
     nd = len(img_shape)
-    big = Tf.shape
     S = xs.shape[0]
     v = xs.reshape((S,) + img_shape)
     # (S, nc, *img): coil-expanded images
     u = maps[None] * v[:, None]
-    offs = [(b - s) // 2 for s, b in zip(img_shape, big)]
-    pad = [(0, 0), (0, 0)] + [
-        (o, b - s - o) for s, b, o in zip(img_shape, big, offs)]
-    u = jnp.pad(u, pad)
     axes = tuple(range(2, 2 + nd))
-    U = jnp.fft.fftn(u, axes=axes)
+    # zero-aware padded FFT round trip (corner embedding; see ops/toeplitz_fft)
+    U = fft_pad2x(u, axes)
     U = Tf[None, None] * U
-    u = jnp.fft.ifftn(U, axes=axes)
-    sl = (slice(None), slice(None)) + tuple(
-        slice(o, o + s) for s, o in zip(img_shape, offs))
-    u = u[sl]
+    u = ifft_crop2x(U, axes)
     # coil combine: sum_c conj(m_c) * u_c  -> psum over the 'coil' axis
     out = jnp.sum(jnp.conj(maps)[None] * u, axis=1)
     return out.reshape(S, -1).astype(xs.dtype)
