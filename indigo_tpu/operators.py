@@ -31,7 +31,10 @@ from jax.tree_util import register_pytree_node_class
 
 from . import cplx
 from .cplx import as_payload, unpack, iscpair, CPair
-from .sparse import BlockedELL, BlockedJag, csr_to_bell, csr_to_jag, bell_spmm
+from .sparse import (
+    BlockedELL, BlockedJag, ElementELL, csr_to_bell, csr_to_jag,
+    csr_to_element, element_spmm, estimate_jag_bytes, bell_spmm,
+)
 
 __all__ = [
     "Operator",
@@ -175,15 +178,28 @@ class SpMatrix(Operator):
     directions are gather-shaped on TPU (SURVEY.md §7 step 5).
     """
 
-    def __init__(self, A, name=None, bm=8, bn=128, format="jag",
+    # Blocked tiles above this size fall back to element-level storage
+    # (exactly nnz) with gather/scatter applies — 3D gridding matrices sit
+    # at ~1% block fill, where tiles would be 30-100x the nnz bytes.
+    MAX_TILE_BYTES = 1 << 30
+
+    def __init__(self, A, name=None, bm=8, bn=128, format="auto",
                  _ell=None, _ellH=None):
         if _ell is not None:
             self._ell, self._ellH = _ell, _ellH
         else:
             A = spsparse.csr_matrix(A)
-            conv = csr_to_jag if format == "jag" else csr_to_bell
-            self._ell = conv(A, bm=bm, bn=bn)
-            self._ellH = conv(A.conj().T.tocsr(), bm=bm, bn=bn)
+            if format == "auto":
+                est = (estimate_jag_bytes(A, bm, bn)
+                       + estimate_jag_bytes(A.T, bm, bn))
+                format = "jag" if est <= self.MAX_TILE_BYTES else "element"
+            if format == "element":
+                self._ell = csr_to_element(A)
+                self._ellH = None
+            else:
+                conv = csr_to_jag if format == "jag" else csr_to_bell
+                self._ell = conv(A, bm=bm, bn=bn)
+                self._ellH = conv(A.conj().T.tocsr(), bm=bm, bn=bn)
         self._name = name
 
     @property
@@ -203,6 +219,8 @@ class SpMatrix(Operator):
         return self._ellH
 
     def apply(self, x, adjoint=False):
+        if isinstance(self._ell, ElementELL):
+            return element_spmm(self._ell, x, adjoint=adjoint)
         from .ops import spmm  # dispatches jnp vs Pallas
         return spmm(self._ellH if adjoint else self._ell, x)
 

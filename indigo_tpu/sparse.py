@@ -28,6 +28,8 @@ from .cplx import as_payload, unpack, to_numpy, iscpair
 __all__ = [
     "BlockedELL", "csr_to_bell", "bell_spmm", "bell_to_csr",
     "BlockedJag", "csr_to_jag", "jag_spmm", "jag_to_csr",
+    "ElementELL", "csr_to_element", "element_spmm", "element_to_csr",
+    "estimate_jag_bytes",
 ]
 
 
@@ -319,6 +321,123 @@ def jag_to_csr(jag):
     keep = (vals != 0) & (rows < M) & (ccols < N)
     return sp.coo_matrix((vals[keep], (rows[keep], ccols[keep])),
                          shape=(M, N)).tocsr()
+
+
+@register_pytree_node_class
+class ElementELL:
+    """Element-level ELL: exactly-nnz storage for very sparse matrices.
+
+    data: (M, L) weights (rows padded with zeros), cols: (M, L) int32.
+    Used when blocked tiles would blow up memory (3D gridding matrices sit
+    at ~1% block fill: tiles would be 30-100x nnz bytes). The forward apply
+    is a gather+reduce; the adjoint is a scatter-add FROM THE SAME ARRAYS
+    (no transposed structure is ever built — the adjoint of a gather is a
+    scatter of the conjugate weights).
+    """
+
+    def __init__(self, data, cols, shape, nnz=0):
+        self.data = data
+        self.cols = cols
+        self.shape = tuple(int(s) for s in shape)
+        self.nnz = int(nnz)
+
+    @property
+    def L(self):
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def memusage(self):
+        return self.data.nbytes + self.cols.nbytes
+
+    def fill_fraction(self):
+        return self.nnz / max(self.data.size, 1)
+
+    def tree_flatten(self):
+        return (self.data, self.cols), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.data, obj.cols = children
+        obj.shape, obj.nnz = aux
+        return obj
+
+    def __repr__(self):
+        return (f"ElementELL(shape={self.shape}, L={self.L}, "
+                f"dtype={self.data.dtype}, nnz={self.nnz})")
+
+
+def csr_to_element(A, dtype=None):
+    """scipy sparse -> ElementELL (host-side)."""
+    A = sp.csr_matrix(A)
+    A.sum_duplicates()
+    M, N = A.shape
+    if dtype is None:
+        dtype = np.complex64 if np.iscomplexobj(A.data) else np.float32
+    nnz_row = np.diff(A.indptr)
+    L = max(1, int(nnz_row.max()) if M else 1)
+    data = np.zeros((max(M, 1), L), dtype=dtype)
+    cols = np.zeros((max(M, 1), L), dtype=np.int32)
+    r = np.repeat(np.arange(M), nnz_row)
+    slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_row)
+    data[r, slot] = A.data.astype(dtype)
+    cols[r, slot] = A.indices
+    return ElementELL(as_payload(data), jnp.asarray(cols), (M, N),
+                      nnz=int(A.nnz))
+
+
+def element_to_csr(e):
+    data = to_numpy(e.data)
+    cols = np.asarray(e.cols)
+    M, N = e.shape
+    rows = np.repeat(np.arange(data.shape[0]), data.shape[1])
+    keep = data.ravel() != 0
+    return sp.coo_matrix(
+        (data.ravel()[keep], (rows[keep], cols.ravel()[keep])),
+        shape=(M, N)).tocsr()
+
+
+def element_spmm(e, x, adjoint=False, precision="highest"):
+    """y = A @ x (or A^H @ x) for ElementELL A.
+
+    forward: y[i] = sum_l data[i,l] * x[cols[i,l]]  (gather + reduce)
+    adjoint: y[cols[i,l]] += conj(data[i,l]) * x[i] (scatter-add)
+    """
+    M, N = e.shape
+    K = x.shape[1]
+    data = unpack(e.data)
+    if adjoint:
+        contrib = jnp.conj(data)[..., None] * x[:, None, :]  # (M, L, K)
+        y = jnp.zeros((N, K), dtype=jnp.result_type(data.dtype, x.dtype))
+        return y.at[e.cols.reshape(-1)].add(
+            contrib.reshape(-1, K), indices_are_sorted=False,
+            unique_indices=False)
+    g = x[e.cols]  # (M, L, K)
+    y = jnp.einsum("ml,mlk->mk", data, g, precision=precision)
+    return y.astype(jnp.result_type(data.dtype, x.dtype))
+
+
+def estimate_jag_bytes(A, bm=8, bn=128):
+    """Cheap host estimate of BlockedJag tile bytes (no materialization).
+
+    Counts the zero block every empty block-row carries (the converter adds
+    them so the kernel can zero-init on first visit) — for very tall sparse
+    adjoints those dominate.
+    """
+    A = sp.coo_matrix(A)
+    R = max(1, -(-A.shape[0] // bm))
+    if A.nnz == 0:
+        return R * bm * bn * 4
+    C = max(1, -(-A.shape[1] // bn))
+    brow = A.row.astype(np.int64) // bm
+    key = brow * C + A.col.astype(np.int64) // bn
+    ukey = np.unique(key)
+    n_brows = len(np.unique(ukey // C))
+    NB = len(ukey) + (R - n_brows)
+    return NB * bm * bn * 4
 
 
 def jag_spmm(jag, x, precision="highest"):

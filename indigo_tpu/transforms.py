@@ -28,7 +28,8 @@ from .operators import (
     Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
     Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
-from .sparse import bell_to_csr, jag_to_csr, BlockedJag
+from .sparse import bell_to_csr, jag_to_csr, element_to_csr, BlockedJag, \
+    ElementELL
 
 __all__ = [
     "Visitor", "Transform",
@@ -164,6 +165,8 @@ def _to_scipy(node):
     if isinstance(node, SpMatrix):
         if isinstance(node.ell, BlockedJag):
             return jag_to_csr(node.ell)
+        if isinstance(node.ell, ElementELL):
+            return element_to_csr(node.ell)
         return bell_to_csr(node.ell)
     if isinstance(node, Diag):
         return sp.diags(cplx.to_numpy(node.payload)).tocsr()

@@ -78,3 +78,53 @@ def test_spmm_dispatch_jag_complex(rng):
     finally:
         set_spmm_impl("auto")
     assert rel_err(y, A @ x) < 1e-5
+
+
+# ---- ElementELL (exactly-nnz storage for very sparse matrices) ----------
+
+from indigo_tpu.sparse import csr_to_element, element_to_csr, element_spmm
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.complex64])
+def test_element_roundtrip_and_spmm(dtype, rng):
+    A = randM(80, 500, 0.01, rng=rng, dtype=dtype)
+    e = csr_to_element(A)
+    assert (abs(element_to_csr(e) - A)).max() < 1e-6
+    x = rand64c(500, 3, rng=rng)
+    y = np.asarray(element_spmm(e, x))
+    assert rel_err(y, A @ x) < 1e-5
+    # adjoint via scatter from the same arrays
+    s = rand64c(80, 3, rng=rng)
+    ya = np.asarray(element_spmm(e, s, adjoint=True))
+    assert rel_err(ya, A.conj().T @ s) < 1e-5
+
+
+def test_element_adjoint_consistency(rng):
+    A = randM(50, 300, 0.02, rng=rng, dtype=np.complex64)
+    e = csr_to_element(A)
+    x = rand64c(300, 1, rng=rng)
+    y = rand64c(50, 1, rng=rng)
+    lhs = np.vdot(np.asarray(element_spmm(e, x)), y)
+    rhs = np.vdot(x, np.asarray(element_spmm(e, y, adjoint=True)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+
+
+def test_spmatrix_auto_format_selects_element(rng):
+    """Huge sparse matrix with terrible block fill -> element storage."""
+    import indigo_tpu as it
+    from indigo_tpu.sparse import ElementELL
+    m = 3000
+    rows = np.arange(m)
+    cols = (rows * 7919) % (1 << 22)
+    A = sp.csr_matrix((np.ones(m, np.float32), (rows, cols)),
+                      shape=(m, 1 << 22))
+    op = it.SpMatrix(A)
+    assert isinstance(op.ell, ElementELL)
+    x = np.zeros((1 << 22, 1), np.complex64)
+    x[cols[5], 0] = 2.0
+    y = np.asarray(op * x)
+    assert abs(y[5, 0] - 2.0) < 1e-6
+    # adjoint consistency through the operator
+    s = rand64c(m, 1, rng=rng)
+    lhs = np.asarray(op.H * s)
+    assert abs(lhs[cols[5], 0] - np.conj(1.0) * s[5, 0]) < 1e-5

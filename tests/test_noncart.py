@@ -109,3 +109,21 @@ def test_cartesian_sense_op(rng):
             (maps[c].ravel() * x[:, 0]).reshape(img_shape)
         ).ravel()[keep] for c in range(nc)])
     assert rel_err(s, ref[:, None]) < 1e-5
+
+
+def test_plan_sort_unsort_roundtrip(rng):
+    from indigo_tpu.models import nufft_op
+    traj = random_traj(30, 2, rng)
+    A, plan = nufft_op(traj, (16, 16), oversamp=2.0, width=6)
+    a = rng.standard_normal(30)
+    assert np.allclose(plan.unsort_samples(plan.sort_samples(a)), a)
+    # coil-stacked roundtrip
+    b = rng.standard_normal(3 * 30)
+    assert np.allclose(
+        plan.unsort_samples(plan.sort_samples(b, ncoil=3), ncoil=3), b)
+    # sorted forward equals user-order oracle permuted via sort_samples
+    from indigo_tpu import oracle
+    x = rand64c(256, 1, rng=rng)
+    s_int = np.asarray(A * x)
+    s_user = oracle.nufft_forward(x, traj, (16, 16))
+    assert rel_err(s_int, plan.sort_samples(s_user)) < 1e-4
