@@ -52,6 +52,7 @@ def build_problem(n=128, nc=8, nspokes=2048, nread=128, seed=0):
 def main():
     cpu = "--cpu" in sys.argv
     small = "--small" in sys.argv
+    huge = "--huge" in sys.argv   # full config-3 size: 256^3
     if cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -59,7 +60,8 @@ def main():
 
     from indigo_tpu.toeplitz import toeplitz_kernel
 
-    n = 64 if small else 128
+    n = 64 if small else (256 if huge else 128)
+    coil_chunk = 2 if huge else None
     iters = 5 if cpu else 20
     t0 = time.time()
     traj, img_shape, maps, rhs = build_problem(n=n)
@@ -98,10 +100,28 @@ def main():
             m = cplx.unpack(maps_p)
             b = cplx.unpack(rhs_p)
             xs, resids = batched_cg(
-                lambda v: sense_normal_batched(Tf, m, v),
+                lambda v: sense_normal_batched(Tf, m, v,
+                                               coil_chunk=coil_chunk),
                 b, lamda=1.0, iters=k)
             return resids[-1], jnp.linalg.norm(xs.real)
         return solve
+
+    def make_apply(k):
+        @jax.jit
+        def apply_k(Tf, maps_p, rhs_p):
+            m = cplx.unpack(maps_p)
+            b = cplx.unpack(rhs_p)
+
+            def body(v, _):
+                out = sense_normal_batched(Tf, m, v,
+                                           coil_chunk=coil_chunk)
+                # renormalize so the iterated value stays finite
+                return out / jnp.maximum(
+                    jnp.linalg.norm(out.real), 1e-30), None
+
+            v, _ = jax.lax.scan(body, b, None, length=k)
+            return jnp.linalg.norm(v.real)
+        return apply_k
 
     k1, k2 = (2, 4) if cpu else (5, 10)
     s1, s2 = make_solver(k1), make_solver(k2)
@@ -122,6 +142,20 @@ def main():
     per_iter = max((t_a2 - t_a1) / (k2 - k1), 1e-9)
     t_warm = per_iter * k2
     ips = 1.0 / per_iter
+
+    # NUFFT normal-op applies/sec (the BASELINE.json companion metric)
+    a1, a2 = make_apply(k1), make_apply(k2)
+
+    def timed_a(f):
+        t0 = time.time()
+        np.asarray(f(Tf_d, maps_d, rhs_d))
+        return time.time() - t0
+
+    timed_a(a1)
+    timed_a(a2)
+    per_apply = max((timed_a(a2) - timed_a(a1)) / (k2 - k1), 1e-9)
+    print(f"[bench] normal-op applies/sec: {1.0/per_apply:.2f} "
+          f"({per_apply*1e3:.1f} ms/apply)", file=sys.stderr)
 
     # roofline estimate for one CG iteration (stderr only)
     nc = maps.shape[0]
@@ -160,7 +194,7 @@ def main():
         if base.get("n") == n and base.get("value"):
             vs = ips / base["value"]
     print(json.dumps({
-        "metric": "cg_iters_per_sec_3d_sense_128c8",
+        "metric": f"cg_iters_per_sec_3d_sense_{n}c8",
         "value": round(ips, 3),
         "unit": "iters/sec",
         "vs_baseline": round(vs, 3) if vs else None,

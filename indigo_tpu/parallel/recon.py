@@ -22,29 +22,51 @@ from .. import cplx
 __all__ = ["sense_normal_batched", "batched_cg", "sense_batch_recon"]
 
 
-def sense_normal_batched(Tf, maps, xs):
+def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
     """Batched Toeplitz SENSE normal op.
 
     Tf:   (*2N)      real   — Toeplitz spectrum (replicated)
     maps: (nc, *N)   complex — coil maps ('coil'-sharded)
     xs:   (S, n)     complex — S slice images, flattened ('slice'-sharded)
     returns (S, n).
+
+    ``coil_chunk``: process coils in chunks of this size with a lax.scan
+    accumulator — bounds the doubled-grid working set to
+    S*coil_chunk*(2N)^d so 256^3 volumes fit one chip's HBM.
     """
     from ..ops.toeplitz_fft import fft_pad2x, ifft_crop2x
 
     img_shape = maps.shape[1:]
     nd = len(img_shape)
+    nc = maps.shape[0]
     S = xs.shape[0]
     v = xs.reshape((S,) + img_shape)
-    # (S, nc, *img): coil-expanded images
-    u = maps[None] * v[:, None]
     axes = tuple(range(2, 2 + nd))
-    # zero-aware padded FFT round trip (corner embedding; see ops/toeplitz_fft)
-    U = fft_pad2x(u, axes)
-    U = Tf[None, None] * U
-    u = ifft_crop2x(U, axes)
-    # coil combine: sum_c conj(m_c) * u_c  -> psum over the 'coil' axis
-    out = jnp.sum(jnp.conj(maps)[None] * u, axis=1)
+
+    def chunk_contrib(m):
+        # m: (cc, *img) -> sum_c conj(m_c) * Toep(m_c * v) : (S, *img)
+        u = m[None] * v[:, None]
+        U = fft_pad2x(u, axes)
+        U = Tf[None, None] * U
+        u = ifft_crop2x(U, axes)
+        return jnp.sum(jnp.conj(m)[None] * u, axis=1)
+
+    if coil_chunk is None or coil_chunk >= nc:
+        out = chunk_contrib(maps)
+    else:
+        assert nc % coil_chunk == 0, (nc, coil_chunk)
+        mchunks = maps.reshape((nc // coil_chunk, coil_chunk) + img_shape)
+
+        def body(acc, m):
+            return acc + chunk_contrib(m), None
+
+        # seed the carry with the first chunk's contribution so its
+        # varying-axes type matches the body output under shard_map
+        out0 = chunk_contrib(mchunks[0])
+        if mchunks.shape[0] > 1:
+            out, _ = lax.scan(body, out0, mchunks[1:])
+        else:
+            out = out0
     return out.reshape(S, -1).astype(xs.dtype)
 
 
@@ -85,7 +107,8 @@ def batched_cg(matvec, rhs, lamda=0.0, iters=20):
     return x, resids
 
 
-def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20):
+def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20,
+                      coil_chunk=None):
     """Many-slice SENSE recon: jit + shard the batched CG over a mesh.
 
     Tf (*2N) real, maps (nc, *N) complex-or-CPair, rhs (S, n) complex.
@@ -95,7 +118,8 @@ def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20):
     """
     def run(Tf, maps, rhs):
         xs, resids = batched_cg(
-            lambda v: sense_normal_batched(Tf, maps, v),
+            lambda v: sense_normal_batched(Tf, maps, v,
+                                           coil_chunk=coil_chunk),
             rhs, lamda=lamda, iters=iters)
         return xs, resids
 
@@ -112,7 +136,8 @@ def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20):
     def block(Tf, maps_l, rhs_l):
         def mv(v):
             return jax.lax.psum(
-                sense_normal_batched(Tf, maps_l, v), "coil")
+                sense_normal_batched(Tf, maps_l, v,
+                                     coil_chunk=coil_chunk), "coil")
         return batched_cg(mv, rhs_l, lamda=lamda, iters=iters)
 
     def run_sharded(Tf, maps, rhs):

@@ -94,3 +94,25 @@ def test_fftn_sharded_matches_fftn(rng):
 
     out_i = it.cplx.cjit(run_inv)(v)
     assert rel_err(np.asarray(out_i), np.fft.ifftn(v)) < 1e-5
+
+
+def test_coil_chunking_matches(rng):
+    """coil_chunk=k computes the same normal op as the full batch."""
+    import jax.numpy as jnp
+    Tf, maps, xs, _ = _setup(rng, S=2, nc=4)
+    f_full = it.cplx.cjit(lambda T, m, x: sense_normal_batched(T, m, x))
+    f_chun = it.cplx.cjit(
+        lambda T, m, x: sense_normal_batched(T, m, x, coil_chunk=2))
+    a = np.asarray(f_full(jnp.asarray(Tf), maps, xs))
+    b = np.asarray(f_chun(jnp.asarray(Tf), maps, xs))
+    assert rel_err(b, a) < 1e-5
+
+
+@needs8
+def test_sharded_recon_with_chunking(rng):
+    Tf, maps, xs, _ = _setup(rng, S=8, nc=4)
+    mesh = make_mesh(slice=4, coil=2)
+    x1, _ = sense_batch_recon(Tf, maps, xs, mesh=mesh, lamda=1.0, iters=8)
+    x2, _ = sense_batch_recon(Tf, maps, xs, mesh=mesh, lamda=1.0, iters=8,
+                              coil_chunk=1)
+    assert rel_err(np.asarray(x2), np.asarray(x1)) < 1e-5
