@@ -60,11 +60,13 @@ def main():
 
     from indigo_tpu.toeplitz import toeplitz_kernel
 
+    if small and huge:
+        sys.exit("--small and --huge are mutually exclusive")
     n = 64 if small else (256 if huge else 128)
     coil_chunk = 2 if huge else None
-    iters = 5 if cpu else 20
     t0 = time.time()
-    traj, img_shape, maps, rhs = build_problem(n=n)
+    # acquisition scales with the grid: ~16n spokes x n readout points
+    traj, img_shape, maps, rhs = build_problem(n=n, nspokes=16 * n, nread=n)
     print(f"[bench] problem built in {time.time()-t0:.1f}s "
           f"(n={n}, coils={maps.shape[0]}, samples={len(traj)})",
           file=sys.stderr)
@@ -198,6 +200,7 @@ def main():
         "value": round(ips, 3),
         "unit": "iters/sec",
         "vs_baseline": round(vs, 3) if vs else None,
+        "normal_op_applies_per_sec": round(1.0 / per_apply, 3),
     }))
 
 

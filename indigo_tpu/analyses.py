@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from .operators import (
-    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One,
+    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
     Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
 from .transforms import Visitor
@@ -78,6 +78,21 @@ def apply_cost(op: Operator, ncols: int = 1):
             return flops, 2 * 2 * n * K * isz  # read+write, ~2 passes
         if isinstance(node, (Eye,)):
             return 0, 0
+        if isinstance(node, CropPad):
+            m, n_ = node.shape
+            return 0, (m + n_) * K * isz
+        if type(node).__name__ == "Perm":
+            n_ = node.shape[0]
+            return 0, (2 * n_ * K) * isz + n_ * 4
+        if type(node).__name__ == "ToeplitzNormal":
+            big = int(np.prod(node._T.shape))
+            n_ = node.shape[0]
+            flops = 5 * big * max(1, int(np.log2(max(big, 2)))) * K * 4
+            # zero-aware padded round trip: ~(2+4+8)/8 passes of big + T read
+            return flops, int(1.75 * big * K * isz * 2) + big * 4
+        if type(node).__name__ == "DWT":
+            n_ = node.shape[0]
+            return 16 * n_ * K, 4 * n_ * K * isz
         if isinstance(node, One):
             m, n = node.shape
             return 2 * (m + n) * K, (m + n) * K * isz

@@ -1,0 +1,119 @@
+"""Compiled end-to-end reconstruction pipelines (the serving layer).
+
+The reference's users compose operators and call solvers by hand per script
+(SURVEY.md §3.4); for production/serving on TPU the right unit is a
+*pipeline object*: build the geometry once (gridding matrices, Toeplitz
+kernel, DCF), upload payloads once, compile the whole solve once, then
+reconstruct many acquisitions at full device speed.
+
+    recon = SenseRecon(traj, maps, lamda=1e-2, iters=30)
+    img = recon(y)            # y in the user's sample order, coil-major
+
+Handles the sample-ordering footgun internally: all public inputs/outputs
+are in the USER's trajectory order.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import cplx
+from ..toeplitz import toeplitz_kernel
+from ..parallel.recon import sense_normal_batched, batched_cg
+from .sense import sense_nufft_op
+
+__all__ = ["SenseRecon"]
+
+
+class SenseRecon:
+    """Multi-coil (NU)FFT SENSE reconstruction pipeline.
+
+    traj: (M, d) in cycles/pixel [-0.5, 0.5); maps: (nc, *img_shape).
+    dcf: None | 'radial' (analytic |k|^(d-1) ramp) | (M,) weights in user
+    order — folded into the normal equations (A^H W A x = A^H W y).
+    The CG runs on the Toeplitz-embedded normal operator (no SpMM in the
+    loop); the gridded operator serves forward simulation and the rhs.
+    """
+
+    def __init__(self, traj, maps, oversamp=1.25, width=4, lamda=None,
+                 iters=30, dcf="radial", coil_chunk=None):
+        traj = np.atleast_2d(np.asarray(traj, dtype=np.float64))
+        maps = np.asarray(maps, dtype=np.complex64)
+        self.nc = maps.shape[0]
+        self.img_shape = maps.shape[1:]
+        self.iters = int(iters)
+        self.coil_chunk = coil_chunk
+        d = traj.shape[1]
+
+        if dcf is None:
+            w = np.ones(len(traj), np.float32)
+        elif isinstance(dcf, str) and dcf == "radial":
+            w = (np.sum(traj ** 2, axis=1) ** ((d - 1) / 2.0)
+                 + (0.5 / max(self.img_shape)) ** (d - 1)).astype(np.float32)
+            w /= w.max()
+        else:
+            w = np.asarray(dcf, np.float32).ravel()
+        self._w_user = w
+
+        self.A, self.plan = sense_nufft_op(
+            traj, maps, oversamp=oversamp, width=width)
+        self._w_sorted = np.tile(w[self.plan.perm], self.nc).astype(
+            np.float32)
+
+        Tf = toeplitz_kernel(traj, self.img_shape, oversamp=oversamp,
+                             width=width, weights=w)
+        # device-resident payloads (uploaded once)
+        self._Tf = jax.device_put(jnp.asarray(Tf))
+        self._maps = jax.device_put(cplx.pack(maps))
+        self._wd = jax.device_put(jnp.asarray(self._w_sorted))
+        if lamda is None:
+            lamda = 1e-3 * float(np.abs(Tf).max())
+        self.lamda = float(lamda)
+
+        n = int(np.prod(self.img_shape))
+
+        @cplx.cjit
+        def _solve(Tf, maps_p, w, y_sorted):
+            m = cplx.unpack(maps_p)
+            rhs = self.A.apply(w[:, None] * y_sorted, adjoint=True)
+            xs, resids = batched_cg(
+                lambda v: sense_normal_batched(
+                    Tf, m, v, coil_chunk=self.coil_chunk),
+                rhs.reshape(1, n), lamda=self.lamda, iters=self.iters)
+            return xs[0], resids[:, 0]
+
+        self._solve = _solve
+
+        @cplx.cjit
+        def _forward(x):
+            return self.A.apply(x.reshape(n, 1))[:, 0]
+
+        self._forward = _forward
+
+    @property
+    def n_samples(self):
+        return self.plan.n_samples
+
+    def simulate(self, x):
+        """k-space (user sample order, coil-major) from an image."""
+        y = self._forward(np.asarray(x).ravel().astype(np.complex64))
+        return self.plan.unsort_samples(np.asarray(y), ncoil=self.nc)
+
+    def __call__(self, y, return_resids=False):
+        """Reconstruct an image from k-space y (user order, coil-major
+        (nc*M,) or (nc, M))."""
+        y = np.asarray(y).reshape(-1)
+        if y.shape[0] != self.nc * self.n_samples:
+            raise ValueError(
+                f"expected {self.nc}x{self.n_samples} samples, got {y.shape}")
+        y_sorted = self.plan.sort_samples(y, ncoil=self.nc)[:, None]
+        x, resids = self._solve(self._Tf, self._maps, self._wd,
+                                y_sorted.astype(np.complex64))
+        x = np.asarray(x).reshape(self.img_shape)
+        if return_resids:
+            return x, np.asarray(resids)
+        return x

@@ -51,10 +51,14 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
         u = ifft_crop2x(U, axes)
         return jnp.sum(jnp.conj(m)[None] * u, axis=1)
 
+    if coil_chunk is not None:
+        # inside shard_map nc is the SHARD-LOCAL coil count; snap the chunk
+        # to a divisor of it so a globally-valid setting never traps
+        import math
+        coil_chunk = math.gcd(int(coil_chunk), nc)
     if coil_chunk is None or coil_chunk >= nc:
         out = chunk_contrib(maps)
     else:
-        assert nc % coil_chunk == 0, (nc, coil_chunk)
         mchunks = maps.reshape((nc // coil_chunk, coil_chunk) + img_shape)
 
         def body(acc, m):
@@ -62,11 +66,8 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
 
         # seed the carry with the first chunk's contribution so its
         # varying-axes type matches the body output under shard_map
-        out0 = chunk_contrib(mchunks[0])
-        if mchunks.shape[0] > 1:
-            out, _ = lax.scan(body, out0, mchunks[1:])
-        else:
-            out = out0
+        # (coil_chunk < nc here, so there are always >= 2 chunks)
+        out, _ = lax.scan(body, chunk_contrib(mchunks[0]), mchunks[1:])
     return out.reshape(S, -1).astype(xs.dtype)
 
 
@@ -147,5 +148,7 @@ def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20,
             out_specs=(P("slice"), P(None, "slice")),
         )(Tf, maps, rhs)
 
-    return cplx.cjit(run_sharded)(np.asarray(Tf), np.asarray(maps),
-                                  np.asarray(rhs))
+    # to_numpy reassembles CPair inputs (and passes plain arrays through) so
+    # the mesh path accepts the same complex-or-CPair inputs as mesh=None
+    return cplx.cjit(run_sharded)(np.asarray(Tf), cplx.to_numpy(maps),
+                                  cplx.to_numpy(rhs))

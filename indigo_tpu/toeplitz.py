@@ -53,14 +53,18 @@ def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None):
     M = G.shape[0]
     w = np.ones(M, np.complex64) if weights is None else \
         np.asarray(weights, np.complex64).ravel()
+    import scipy.fft as sfft  # keeps complex64 (numpy.fft upcasts to c128)
+
     v = np.asarray(G.conj().T @ w).reshape(grid2).astype(np.complex64)
     # Fc^H = fftshift . (prod(grid2) * ifftn) . ifftshift
     u = np.fft.fftshift(
-        np.fft.ifftn(np.fft.ifftshift(v))) * float(np.prod(grid2))
+        sfft.ifftn(np.fft.ifftshift(v), workers=-1)) * np.float32(
+            np.prod(grid2))
     offs = [(g - b) // 2 for b, g in zip(big, grid2)]
     sl = tuple(slice(o, o + b) for b, o in zip(big, offs))
-    t = u[sl] * deapodization(big, grid2, width=width, beta=beta)
-    Tf = np.fft.fftn(np.fft.ifftshift(t))
+    t = (u[sl] * deapodization(big, grid2, width=width, beta=beta)
+         ).astype(np.complex64)
+    Tf = sfft.fftn(np.fft.ifftshift(t), workers=-1)
     return np.ascontiguousarray(Tf.real.astype(np.float32))
 
 
