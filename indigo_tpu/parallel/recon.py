@@ -19,7 +19,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import cplx
 
-__all__ = ["sense_normal_batched", "batched_cg", "sense_batch_recon"]
+__all__ = [
+    "sense_normal_batched", "batched_cg", "sense_batch_recon",
+    "sense_normal_volsharded", "sense_vol_recon",
+]
 
 
 def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
@@ -71,12 +74,16 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
     return out.reshape(S, -1).astype(xs.dtype)
 
 
-def batched_cg(matvec, rhs, lamda=0.0, iters=20):
+def batched_cg(matvec, rhs, lamda=0.0, iters=20, psum_axis=None):
     """Fixed-iteration CG with per-slice (leading-axis) inner products.
 
     rhs (S, n): solves (M + lamda I) x_s = rhs_s for every slice jointly in
     one lax.scan — the whole multi-slice solve is a single XLA program.
     Returns (xs, resids) with resids (iters, S).
+
+    ``psum_axis``: when the feature dimension itself is sharded (volume/
+    tensor parallelism inside shard_map), inner products must reduce across
+    shards — pass the mesh axis name.
     """
     def mv(v):
         out = matvec(v)
@@ -85,7 +92,10 @@ def batched_cg(matvec, rhs, lamda=0.0, iters=20):
         return out
 
     def pdot(a, b):  # per-slice real inner product -> (S, 1)
-        return jnp.sum(jnp.real(jnp.conj(a) * b), axis=-1, keepdims=True)
+        d = jnp.sum(jnp.real(jnp.conj(a) * b), axis=-1, keepdims=True)
+        if psum_axis is not None:
+            d = jax.lax.psum(d, psum_axis)
+        return d
 
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
@@ -152,3 +162,83 @@ def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20,
     # the mesh path accepts the same complex-or-CPair inputs as mesh=None
     return cplx.cjit(run_sharded)(np.asarray(Tf), cplx.to_numpy(maps),
                                   cplx.to_numpy(rhs))
+
+
+def sense_normal_volsharded(Tf_l, maps_l, v_l, axis_name="vol"):
+    """Toeplitz SENSE normal op for ONE volume sharded over its z-axis
+    (tensor/model parallelism for volumes too large for one chip's HBM).
+
+    Call INSIDE shard_map with specs (3D volumes):
+      Tf_l   (2Nz, 2Ny/p, 2Nx)  <- P(None, axis, None)
+      maps_l (nc, Nz/p, Ny, Nx) <- P(None, axis, None, None)
+      v_l    (Nz/p, Ny, Nx)     <- P(axis, None, None)
+
+    Algorithm per coil: multiply map; zero-aware padded FFT over the LOCAL
+    axes (y, x); all_to_all so z becomes local (splitting the now-doubled y
+    axis); zero-aware padded FFT over z; multiply the matching Tf shard;
+    inverse transforms mirrored. Communication = two all_to_all transposes
+    over ICI per direction — the distributed-NUFFT decomposition
+    (PAPERS.md) specialized to the Toeplitz round trip.
+    """
+    from ..ops.toeplitz_fft import fft_pad2x, ifft_crop2x
+
+    nc = maps_l.shape[0]
+
+    def per_coil(acc, m):
+        u = m * v_l                                   # (Nz/p, Ny, Nx)
+        u = fft_pad2x(u, (1, 2))                      # (Nz/p, 2Ny, 2Nx)
+        u = jax.lax.all_to_all(u, axis_name, split_axis=1, concat_axis=0,
+                               tiled=True)            # (Nz, 2Ny/p, 2Nx)
+        u = fft_pad2x(u, (0,))                        # (2Nz, 2Ny/p, 2Nx)
+        u = Tf_l * u
+        u = ifft_crop2x(u, (0,))                      # (Nz, 2Ny/p, 2Nx)
+        u = jax.lax.all_to_all(u, axis_name, split_axis=0, concat_axis=1,
+                               tiled=True)            # (Nz/p, 2Ny, 2Nx)
+        u = ifft_crop2x(u, (1, 2))                    # (Nz/p, Ny, Nx)
+        return acc + jnp.conj(m) * u, None
+
+    out0, _ = per_coil(jnp.zeros_like(v_l), maps_l[0])
+    if nc > 1:
+        out, _ = lax.scan(per_coil, out0, maps_l[1:])
+    else:
+        out = out0
+    return out
+
+
+def sense_vol_recon(Tf, maps, rhs, mesh, axis_name="vol", lamda=0.0,
+                    iters=20):
+    """CG-SENSE for one volume sharded over ``axis_name`` of ``mesh``.
+
+    Tf (*2N) real, maps (nc, *N), rhs (*N) complex/numpy. The whole CG runs
+    inside one shard_map program; inner products psum over the volume axis.
+    Returns (x (*N) host-complex, resids (iters,)).
+    """
+    from jax import shard_map
+
+    img_shape = maps.shape[1:]
+    p = mesh.shape[axis_name]
+    assert img_shape[0] % p == 0 and (2 * img_shape[1]) % p == 0
+
+    def block(Tf_l, maps_l, rhs_l):
+        def mv(v):
+            out = sense_normal_volsharded(
+                Tf_l, maps_l, v.reshape(maps_l.shape[1:]), axis_name)
+            return out.reshape(1, -1)
+
+        xs, resids = batched_cg(mv, rhs_l.reshape(1, -1), lamda=lamda,
+                                iters=iters, psum_axis=axis_name)
+        return xs.reshape(maps_l.shape[1:]), resids[:, 0]
+
+    def run(Tf, maps, rhs):
+        nd = len(img_shape)
+        rest = [None] * (nd - 1)
+        return shard_map(
+            block, mesh=mesh,
+            in_specs=(P(None, axis_name, *rest[1:]),   # Tf: shard dim 1
+                      P(None, axis_name, *rest[1:]),   # maps: shard z (dim 1)
+                      P(axis_name, *rest)),            # volume: shard z
+            out_specs=(P(axis_name, *rest), P()),
+        )(Tf, maps, rhs)
+
+    return cplx.cjit(run)(np.asarray(Tf), cplx.to_numpy(maps),
+                          cplx.to_numpy(rhs))

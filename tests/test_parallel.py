@@ -116,3 +116,29 @@ def test_sharded_recon_with_chunking(rng):
     x2, _ = sense_batch_recon(Tf, maps, xs, mesh=mesh, lamda=1.0, iters=8,
                               coil_chunk=1)
     assert rel_err(np.asarray(x2), np.asarray(x1)) < 1e-5
+
+
+@needs8
+def test_volume_sharded_normal_matches(rng):
+    """TP: one volume sharded over z gives the same recon as unsharded."""
+    from indigo_tpu.parallel.recon import sense_vol_recon
+    from indigo_tpu.toeplitz import toeplitz_kernel
+    n = 16
+    img_shape = (n, n, n)
+    nc = 2
+    traj = (rng.random((200, 3)) - 0.5)
+    maps = rand64c(nc, *img_shape, rng=rng)
+    # accurate kernel + meaningful lamda: a low-accuracy Toeplitz kernel can
+    # be slightly indefinite, which (correctly) breaks CG in both paths
+    Tf = toeplitz_kernel(traj, img_shape, oversamp=2.0, width=6)
+    lam = 0.05 * float(np.abs(Tf).max())
+    rhs = rand64c(*img_shape, rng=rng)
+
+    mesh = make_mesh(vol=8)
+    x_sh, res_sh = sense_vol_recon(Tf, maps, rhs, mesh, axis_name="vol",
+                                   lamda=lam, iters=12)
+    # unsharded reference via the batched path
+    x_ref, _ = sense_batch_recon(Tf, maps, rhs.reshape(1, -1), mesh=None,
+                                 lamda=lam, iters=12)
+    assert rel_err(np.asarray(x_sh).ravel(), np.asarray(x_ref)[0]) < 1e-4
+    assert res_sh.shape == (12,)
