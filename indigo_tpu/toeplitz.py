@@ -32,7 +32,8 @@ from . import cplx
 __all__ = ["ToeplitzNormal", "toeplitz_kernel", "sense_normal_toeplitz"]
 
 
-def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None):
+def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None,
+                    psd_clip=False):
     """Real spectrum T (2N grid) of the NUFFT normal-operator kernel.
 
     Computed once, entirely host-side (numpy/scipy — no device ELL tiles are
@@ -64,8 +65,19 @@ def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None):
     sl = tuple(slice(o, o + b) for b, o in zip(big, offs))
     t = (u[sl] * deapodization(big, grid2, width=width, beta=beta)
          ).astype(np.complex64)
-    Tf = sfft.fftn(np.fft.ifftshift(t), workers=-1)
-    return np.ascontiguousarray(Tf.real.astype(np.float32))
+    Tf = sfft.fftn(np.fft.ifftshift(t), workers=-1).real.astype(np.float32)
+    # The exact normal-op spectrum is >= 0; gridding error can push low-
+    # accuracy kernels slightly negative, which makes CG diverge. Warn, and
+    # clip to PSD on request.
+    tmin = float(Tf.min())
+    if tmin < -1e-3 * float(np.abs(Tf).max()):
+        import sys
+        print(f"[indigo_tpu.toeplitz] kernel spectrum has negative values "
+              f"(min {tmin:.3e}); raise width/oversamp or pass "
+              f"psd_clip=True to keep CG stable", file=sys.stderr)
+    if psd_clip:
+        Tf = np.maximum(Tf, 0.0)
+    return np.ascontiguousarray(Tf)
 
 
 @register_pytree_node_class
