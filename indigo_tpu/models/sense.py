@@ -57,6 +57,7 @@ class NufftPlan:
     beta: float
     perm: np.ndarray
     oversamp: float
+    deapod: np.ndarray = None  # real deapodization array (img_shape)
 
     @property
     def n_samples(self):
@@ -85,7 +86,7 @@ class NufftPlan:
 
 
 def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
-             col_tiling=False, name="NUFFT"):
+             col_tiling=False, deapod=True, name="NUFFT"):
     """Type-2 NUFFT operator A: image -> k-space samples.
 
     A = G [. P] . Fc . Z . Da  with G the KB gridding CSR (as blocked-ELL
@@ -129,14 +130,16 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
     G = SpMatrix(Gcsr, name="Gridding")
     Fc = centered_fft_op(grid_shape)
     Z = CropPad(img_shape, grid_shape, name="Zpad")
-    Da = Diag(deapodization(img_shape, grid_shape, width=width, beta=beta),
-              name="Deapod")
+    da = deapodization(img_shape, grid_shape, width=width, beta=beta)
+    factors = chain + [Fc, Z]
+    if deapod:
+        factors.append(Diag(da, name="Deapod"))
     A = G
-    for opn in chain + [Fc, Z, Da]:
+    for opn in factors:
         A = A * opn
     A._name = name
     plan = NufftPlan(img_shape, grid_shape, traj_s, width, float(beta),
-                     perm, float(oversamp))
+                     perm, float(oversamp), deapod=da)
     return A, plan
 
 
@@ -151,28 +154,17 @@ def sense_nufft_op(traj, maps, oversamp=1.5, width=4, beta=None, sort=True):
     maps = np.asarray(maps)
     nc = maps.shape[0]
     img_shape = maps.shape[1:]
-    core, plan = nufft_op(
-        traj, img_shape, oversamp=oversamp, width=width, beta=beta, sort=sort)
-    # core = G * Fc * Z * Da; strip the trailing deapod and fold into maps.
-    # (core is a right-leaning Product chain; rebuild without Da.)
-    G_FcZ = _drop_rightmost_diag(core)
-    Da = deapodization(img_shape, plan.grid_shape, width=width,
-                       beta=plan.beta)
+    # build the shared core WITHOUT its deapod diagonal and fold the
+    # deapodization into the per-coil map diagonals (one fewer image pass)
+    G_FcZ, plan = nufft_op(
+        traj, img_shape, oversamp=oversamp, width=width, beta=beta,
+        sort=sort, deapod=False)
     coils = VStack(
-        [Diag((Da * maps[c]).ravel().astype(np.complex64),
+        [Diag((plan.deapod * maps[c]).ravel().astype(np.complex64),
               name=f"Map{c}") for c in range(nc)],
         name="Coils")
     A = KronI(nc, G_FcZ, name="PerCoil") * coils
     return A, plan
-
-
-def _drop_rightmost_diag(op):
-    """Remove the rightmost factor of a Product chain (the deapod Diag)."""
-    if isinstance(op, Product):
-        if isinstance(op.right, Diag):
-            return op.left
-        return Product(op.left, _drop_rightmost_diag(op.right))
-    raise ValueError("expected a Product chain")
 
 
 def cartesian_sense_op(mask, maps):

@@ -19,15 +19,21 @@ _SPMM_IMPL = "auto"
 
 
 def set_spmm_impl(impl):
-    """Select the SpMM implementation: 'auto' | 'jnp' | 'pallas'."""
+    """Select the SpMM implementation: 'auto' | 'jnp' | 'pallas'.
+
+    NOTE: the choice is read at TRACE time and baked into compiled
+    executables — changing it does not affect already-jitted functions
+    until they retrace (use jax.clear_caches() to force it).
+    """
     global _SPMM_IMPL
     assert impl in ("auto", "jnp", "pallas"), impl
     _SPMM_IMPL = impl
 
 
 def use_pallas():
+    """Mosaic kernels are TPU-only (GPU/CPU take the jnp path)."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
 
@@ -45,7 +51,10 @@ def spmm(A, x, impl=None):
     is_jag = isinstance(A, BlockedJag)
     jnp_path = jag_spmm if is_jag else bell_spmm
     want_pallas = impl == "pallas" or (impl == "auto" and use_pallas())
+    # both kernels scalar-prefetch their block indices into SMEM
     if is_jag and not A.smem_ok():
+        want_pallas = False
+    if not is_jag and A.cols.size * 4 > 400 * 1024:
         want_pallas = False
     if want_pallas and not jnp.iscomplexobj(A.data):
         from .ell_spmm import ell_spmm_pallas, jag_spmm_pallas

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse import BlockedELL, BlockedJag
+from ..sparse import BlockedELL, BlockedJag, _pad_rows
 
 __all__ = ["ell_spmm_pallas", "jag_spmm_pallas"]
 
@@ -145,10 +145,7 @@ def jag_spmm_pallas(jag: BlockedJag, x, interpret=None):
     M, N = jag.shape
     bm, bn, R, C = jag.bm, jag.bn, jag.R, jag.C
     K = x.shape[1]
-    pad_rows = C * bn - x.shape[0]
-    if pad_rows:
-        x = jnp.pad(x, ((0, pad_rows), (0, 0)))
-    xb = x.reshape(C, bn, K)
+    xb = _pad_rows(x, C * bn).reshape(C, bn, K)
     y = _jag_spmm_call(jag.data, jag.bcols, jag.brows, xb, R,
                        interpret=interpret)
     return y.reshape(R * bm, K)[:M]
@@ -161,9 +158,6 @@ def ell_spmm_pallas(ell: BlockedELL, x, interpret=None):
     M, N = ell.shape
     bm, bn, R, C, W = ell.bm, ell.bn, ell.R, ell.C, ell.W
     K = x.shape[1]
-    pad_rows = C * bn - x.shape[0]
-    if pad_rows:
-        x = jnp.pad(x, ((0, pad_rows), (0, 0)))
-    xb = x.reshape(C, bn, K)
+    xb = _pad_rows(x, C * bn).reshape(C, bn, K)
     y = _ell_spmm_call(ell.data, ell.cols, xb, interpret=interpret)
     return y.reshape(R * bm, K)[:M]

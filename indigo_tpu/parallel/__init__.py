@@ -16,11 +16,13 @@ the collectives; shard_map is used only where manual control wins.
 from .mesh import make_mesh, replicated, shard_along
 from .recon import (
     sense_normal_batched, batched_cg, sense_batch_recon,
+    sense_normal_volsharded, sense_vol_recon,
 )
 from .dist_fft import fftn_sharded
 
 __all__ = [
     "make_mesh", "replicated", "shard_along",
     "sense_normal_batched", "batched_cg", "sense_batch_recon",
+    "sense_normal_volsharded", "sense_vol_recon",
     "fftn_sharded",
 ]

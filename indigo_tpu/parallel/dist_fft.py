@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 __all__ = ["fftn_sharded"]
@@ -27,7 +27,8 @@ def fftn_sharded(v, mesh, axis_name="x", inverse=False):
     p = mesh.shape[axis_name]
     if v.shape[0] % p or v.shape[1] % p:
         raise ValueError(
-            f"dims 0 and 1 of {v.shape} must divide the mesh axis size {p}")
+            f"dims 0 and 1 of {v.shape} must each be divisible by the "
+            f"mesh axis size {p}")
 
     spec0 = P(axis_name, *([None] * (nd - 1)))
 

@@ -118,15 +118,12 @@ def batched_cg(matvec, rhs, lamda=0.0, iters=20, psum_axis=None):
     return x, resids
 
 
-def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20,
-                      coil_chunk=None):
-    """Many-slice SENSE recon: jit + shard the batched CG over a mesh.
+@functools.lru_cache(maxsize=32)
+def _batch_recon_fn(mesh, lamda, iters, coil_chunk):
+    """Compiled solver cache: one executable per (mesh, solver config) —
+    repeated sense_batch_recon calls with the same config reuse it instead
+    of re-tracing the whole CG program every call."""
 
-    Tf (*2N) real, maps (nc, *N) complex-or-CPair, rhs (S, n) complex.
-    With ``mesh`` (axes 'slice' and 'coil'), inputs are device_put with the
-    matching NamedShardings and GSPMD partitions the whole solve. Complex
-    inputs may be numpy; outputs come back host-side complex.
-    """
     def run(Tf, maps, rhs):
         xs, resids = batched_cg(
             lambda v: sense_normal_batched(Tf, maps, v,
@@ -135,7 +132,7 @@ def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20,
         return xs, resids
 
     if mesh is None:
-        return cplx.cjit(run)(Tf, maps, rhs)
+        return cplx.cjit(run)
 
     # shard_map SPMD: the whole CG loop runs per-device on its (slice, coil)
     # shard; the only collective is the psum coil-combine inside the matvec.
@@ -158,10 +155,26 @@ def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20,
             out_specs=(P("slice"), P(None, "slice")),
         )(Tf, maps, rhs)
 
+    return cplx.cjit(run_sharded)
+
+
+def sense_batch_recon(Tf, maps, rhs, mesh=None, lamda=0.0, iters=20,
+                      coil_chunk=None):
+    """Many-slice SENSE recon: jit + shard the batched CG over a mesh.
+
+    Tf (*2N) real, maps (nc, *N) complex-or-CPair, rhs (S, n) complex.
+    With ``mesh`` (axes 'slice' and 'coil'), the whole solve runs as one
+    shard_map SPMD program. Complex inputs may be numpy; outputs come back
+    host-side complex. Compiled executables are cached per (mesh, lamda,
+    iters, coil_chunk).
+    """
+    fn = _batch_recon_fn(mesh, float(lamda), int(iters),
+                         None if coil_chunk is None else int(coil_chunk))
+    if mesh is None:
+        return fn(Tf, maps, rhs)
     # to_numpy reassembles CPair inputs (and passes plain arrays through) so
     # the mesh path accepts the same complex-or-CPair inputs as mesh=None
-    return cplx.cjit(run_sharded)(np.asarray(Tf), cplx.to_numpy(maps),
-                                  cplx.to_numpy(rhs))
+    return fn(np.asarray(Tf), cplx.to_numpy(maps), cplx.to_numpy(rhs))
 
 
 def sense_normal_volsharded(Tf_l, maps_l, v_l, axis_name="vol"):
@@ -205,19 +218,9 @@ def sense_normal_volsharded(Tf_l, maps_l, v_l, axis_name="vol"):
     return out
 
 
-def sense_vol_recon(Tf, maps, rhs, mesh, axis_name="vol", lamda=0.0,
-                    iters=20):
-    """CG-SENSE for one volume sharded over ``axis_name`` of ``mesh``.
-
-    Tf (*2N) real, maps (nc, *N), rhs (*N) complex/numpy. The whole CG runs
-    inside one shard_map program; inner products psum over the volume axis.
-    Returns (x (*N) host-complex, resids (iters,)).
-    """
+@functools.lru_cache(maxsize=32)
+def _vol_recon_fn(mesh, axis_name, lamda, iters):
     from jax import shard_map
-
-    img_shape = maps.shape[1:]
-    p = mesh.shape[axis_name]
-    assert img_shape[0] % p == 0 and (2 * img_shape[1]) % p == 0
 
     def block(Tf_l, maps_l, rhs_l):
         def mv(v):
@@ -230,15 +233,37 @@ def sense_vol_recon(Tf, maps, rhs, mesh, axis_name="vol", lamda=0.0,
         return xs.reshape(maps_l.shape[1:]), resids[:, 0]
 
     def run(Tf, maps, rhs):
-        nd = len(img_shape)
-        rest = [None] * (nd - 1)
         return shard_map(
             block, mesh=mesh,
-            in_specs=(P(None, axis_name, *rest[1:]),   # Tf: shard dim 1
-                      P(None, axis_name, *rest[1:]),   # maps: shard z (dim 1)
-                      P(axis_name, *rest)),            # volume: shard z
-            out_specs=(P(axis_name, *rest), P()),
+            in_specs=(P(None, axis_name, None),   # Tf: shard dim 1 (y)
+                      P(None, axis_name, None, None),  # maps: shard z
+                      P(axis_name, None, None)),       # volume: shard z
+            out_specs=(P(axis_name, None, None), P()),
         )(Tf, maps, rhs)
 
-    return cplx.cjit(run)(np.asarray(Tf), cplx.to_numpy(maps),
-                          cplx.to_numpy(rhs))
+    return cplx.cjit(run)
+
+
+def sense_vol_recon(Tf, maps, rhs, mesh, axis_name="vol", lamda=0.0,
+                    iters=20):
+    """CG-SENSE for ONE 3D volume sharded over ``axis_name`` of ``mesh``.
+
+    Tf (*2N) real, maps (nc, *N), rhs (*N) complex/numpy. The whole CG runs
+    inside one shard_map program; inner products psum over the volume axis.
+    Returns (x (*N) host-complex, resids (iters,)). Compiled executables
+    are cached per (mesh, axis, lamda, iters).
+    """
+    img_shape = maps.shape[1:]
+    if len(img_shape) != 3:
+        raise ValueError(
+            f"sense_vol_recon supports 3D volumes, got {img_shape}; use "
+            "sense_batch_recon for 2D problems")
+    p = mesh.shape[axis_name]
+    if img_shape[0] % p or (2 * img_shape[1]) % p:
+        raise ValueError(
+            f"z ({img_shape[0]}) must be divisible by the mesh axis size "
+            f"{p}, and 2*Ny ({2 * img_shape[1]}) by {p} for the all_to_all "
+            "transpose")
+
+    fn = _vol_recon_fn(mesh, axis_name, float(lamda), int(iters))
+    return fn(np.asarray(Tf), cplx.to_numpy(maps), cplx.to_numpy(rhs))

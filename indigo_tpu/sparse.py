@@ -428,16 +428,17 @@ def estimate_jag_bytes(A, bm=8, bn=128):
     adjoints those dominate.
     """
     A = sp.coo_matrix(A)
+    esz = 8 if np.iscomplexobj(A.data) else 4  # CPair stores 2 f32 planes
     R = max(1, -(-A.shape[0] // bm))
     if A.nnz == 0:
-        return R * bm * bn * 4
+        return R * bm * bn * esz
     C = max(1, -(-A.shape[1] // bn))
     brow = A.row.astype(np.int64) // bm
     key = brow * C + A.col.astype(np.int64) // bn
     ukey = np.unique(key)
     n_brows = len(np.unique(ukey // C))
     NB = len(ukey) + (R - n_brows)
-    return NB * bm * bn * 4
+    return NB * bm * bn * esz
 
 
 def jag_spmm(jag, x, precision="highest"):
