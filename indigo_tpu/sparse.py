@@ -335,11 +335,17 @@ class ElementELL:
     scatter of the conjugate weights).
     """
 
-    def __init__(self, data, cols, shape, nnz=0):
+    def __init__(self, data, cols, shape, nnz=0, adj_rows=None,
+                 adj_vals=None, adj_segs=None):
         self.data = data
         self.cols = cols
         self.shape = tuple(int(s) for s in shape)
         self.nnz = int(nnz)
+        # optional column-sorted layout: adjoint = gather + SORTED
+        # segment_sum instead of a scatter-add (TPU scatters serialize)
+        self.adj_rows = adj_rows   # (nnz,) int32 row of each nnz
+        self.adj_vals = adj_vals   # (nnz,) weights, sorted by column
+        self.adj_segs = adj_segs   # (nnz,) int32 column of each nnz (sorted)
 
     @property
     def L(self):
@@ -350,18 +356,24 @@ class ElementELL:
         return self.data.dtype
 
     def memusage(self):
-        return self.data.nbytes + self.cols.nbytes
+        b = self.data.nbytes + self.cols.nbytes
+        for a in (self.adj_rows, self.adj_vals, self.adj_segs):
+            if a is not None:
+                b += a.nbytes
+        return b
 
     def fill_fraction(self):
         return self.nnz / max(self.data.size, 1)
 
     def tree_flatten(self):
-        return (self.data, self.cols), (self.shape, self.nnz)
+        return ((self.data, self.cols, self.adj_rows, self.adj_vals,
+                 self.adj_segs), (self.shape, self.nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.data, obj.cols = children
+        (obj.data, obj.cols, obj.adj_rows, obj.adj_vals,
+         obj.adj_segs) = children
         obj.shape, obj.nnz = aux
         return obj
 
@@ -370,8 +382,12 @@ class ElementELL:
                 f"dtype={self.data.dtype}, nnz={self.nnz})")
 
 
-def csr_to_element(A, dtype=None):
-    """scipy sparse -> ElementELL (host-side)."""
+def csr_to_element(A, dtype=None, adjoint_segments=True):
+    """scipy sparse -> ElementELL (host-side).
+
+    ``adjoint_segments``: also store the nonzeros sorted by column so the
+    adjoint runs as gather + sorted segment_sum (a scatter-add otherwise).
+    """
     A = sp.csr_matrix(A)
     A.sum_duplicates()
     M, N = A.shape
@@ -385,8 +401,16 @@ def csr_to_element(A, dtype=None):
     slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_row)
     data[r, slot] = A.data.astype(dtype)
     cols[r, slot] = A.indices
+    adj_rows = adj_vals = adj_segs = None
+    if adjoint_segments and A.nnz:
+        Ac = A.tocsc()
+        adj_vals = as_payload(Ac.data.astype(dtype))
+        adj_rows = jnp.asarray(Ac.indices.astype(np.int32))
+        segs = np.repeat(np.arange(N), np.diff(Ac.indptr))
+        adj_segs = jnp.asarray(segs.astype(np.int32))
     return ElementELL(as_payload(data), jnp.asarray(cols), (M, N),
-                      nnz=int(A.nnz))
+                      nnz=int(A.nnz), adj_rows=adj_rows,
+                      adj_vals=adj_vals, adj_segs=adj_segs)
 
 
 def element_to_csr(e):
@@ -409,15 +433,23 @@ def element_spmm(e, x, adjoint=False, precision="highest"):
     M, N = e.shape
     K = x.shape[1]
     data = unpack(e.data)
+    out_dtype = jnp.result_type(data.dtype, x.dtype)
     if adjoint:
+        if e.adj_segs is not None:
+            # column-sorted layout: gather + sorted segment_sum
+            vals = jnp.conj(unpack(e.adj_vals))
+            contrib = vals[:, None] * x[e.adj_rows]          # (nnz, K)
+            return jax.ops.segment_sum(
+                contrib, e.adj_segs, num_segments=N,
+                indices_are_sorted=True).astype(out_dtype)
         contrib = jnp.conj(data)[..., None] * x[:, None, :]  # (M, L, K)
-        y = jnp.zeros((N, K), dtype=jnp.result_type(data.dtype, x.dtype))
+        y = jnp.zeros((N, K), dtype=out_dtype)
         return y.at[e.cols.reshape(-1)].add(
             contrib.reshape(-1, K), indices_are_sorted=False,
             unique_indices=False)
     g = x[e.cols]  # (M, L, K)
     y = jnp.einsum("ml,mlk->mk", data, g, precision=precision)
-    return y.astype(jnp.result_type(data.dtype, x.dtype))
+    return y.astype(out_dtype)
 
 
 def estimate_jag_bytes(A, bm=8, bn=128):

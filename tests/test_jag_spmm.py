@@ -128,3 +128,17 @@ def test_spmatrix_auto_format_selects_element(rng):
     s = rand64c(m, 1, rng=rng)
     lhs = np.asarray(op.H * s)
     assert abs(lhs[cols[5], 0] - np.conj(1.0) * s[5, 0]) < 1e-5
+
+
+def test_element_adjoint_segment_vs_scatter(rng):
+    """Column-sorted segment adjoint == scatter adjoint == scipy."""
+    A = randM(120, 700, 0.01, rng=rng, dtype=np.complex64)
+    e_seg = csr_to_element(A, adjoint_segments=True)
+    e_sc = csr_to_element(A, adjoint_segments=False)
+    assert e_seg.adj_segs is not None and e_sc.adj_segs is None
+    s = rand64c(120, 3, rng=rng)
+    y_seg = np.asarray(element_spmm(e_seg, s, adjoint=True))
+    y_sc = np.asarray(element_spmm(e_sc, s, adjoint=True))
+    ref = A.conj().T @ s
+    assert rel_err(y_seg, ref) < 1e-5
+    assert rel_err(y_sc, ref) < 1e-5
