@@ -72,8 +72,9 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_toeplitz_{n}.npy")
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".bench_toeplitz_{n}_{16 * n}x{n}.npy")  # keyed on acquisition too
     if os.path.exists(cache):
         Tf = np.load(cache)
     else:
