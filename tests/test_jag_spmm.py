@@ -59,13 +59,17 @@ def test_jag_empty_rows_zeroed(rng):
 
 
 def test_auto_bm_smem(rng):
-    """Very wide sparse matrix: auto_bm grows bm until indices fit SMEM."""
-    A = randM(120000, 4000, 0.0005, rng=rng, dtype=np.float32)
-    jag = csr_to_jag(A, smem_budget=64 * 1024)
-    assert jag.smem_ok(64 * 1024) or jag.bm == 128
-    y = np.asarray(jag_spmm(jag, np.ones((4000, 2), np.float32)))
-    ref = A @ np.ones((4000, 2), np.float32)
-    assert rel_err(y, ref) < 1e-5
+    """Tall sparse matrix + tiny SMEM budget: auto_bm grows bm until the
+    block index arrays fit (same growth path as production shapes, scaled
+    down so interpret-mode SpMM stays fast)."""
+    A = randM(6000, 1024, 0.002, rng=rng, dtype=np.float32)
+    budget = 2 * 1024  # force several doublings
+    jag = csr_to_jag(A, smem_budget=budget)
+    assert jag.bm > 8  # growth actually happened
+    assert jag.smem_ok(budget) or jag.bm == 128
+    x = np.ones((1024, 2), np.float32)
+    y = np.asarray(jag_spmm(jag, x))
+    assert rel_err(y, A @ x) < 1e-5
 
 
 def test_spmm_dispatch_jag_complex(rng):
