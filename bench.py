@@ -91,9 +91,11 @@ def main():
     import jax
     import jax.numpy as jnp
     from indigo_tpu import cplx
+    from indigo_tpu.ops.dft_fft import block_spectrum
     from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
 
-    Tf_d = jax.device_put(jnp.asarray(Tf))
+    # spectrum pre-permuted host-side into the matmul-DFT block layout
+    Tf_d = jax.device_put(jnp.asarray(block_spectrum(Tf)))
     maps_d = jax.device_put(cplx.pack(maps))
     rhs_d = jax.device_put(cplx.pack(rhs))
 
@@ -104,7 +106,8 @@ def main():
             b = cplx.unpack(rhs_p)
             xs, resids = batched_cg(
                 lambda v: sense_normal_batched(Tf, m, v,
-                                               coil_chunk=coil_chunk),
+                                               coil_chunk=coil_chunk,
+                                               layout="block"),
                 b, lamda=1.0, iters=k)
             return resids[-1], jnp.linalg.norm(xs.real)
         return solve
@@ -117,7 +120,8 @@ def main():
 
             def body(v, _):
                 out = sense_normal_batched(Tf, m, v,
-                                           coil_chunk=coil_chunk)
+                                           coil_chunk=coil_chunk,
+                                           layout="block")
                 # renormalize so the iterated value stays finite
                 return out / jnp.maximum(
                     jnp.linalg.norm(out.real), 1e-30), None
@@ -160,15 +164,16 @@ def main():
     print(f"[bench] normal-op applies/sec: {1.0/per_apply:.2f} "
           f"({per_apply*1e3:.1f} ms/apply)", file=sys.stderr)
 
-    # roofline estimate for one CG iteration (stderr only)
+    # roofline estimate for one CG iteration (stderr only): minimum HBM
+    # traffic of the matmul-DFT pipeline (ops/dft_fft.py) — per axis pass
+    # read V write 2V growing 1->8V forward and mirrored back, kernel
+    # multiply fused into the adjacent contraction, + spectrum read.
     nc = maps.shape[0]
     big = int(np.prod(Tf.shape))
     npx = int(np.prod(img_shape))
     cplx_b = 8
-    # fwd+inv, ~3 passes each, read+write; x0.58 for the zero-aware padded
-    # transforms (ops/toeplitz_fft.py) that never touch the padding zeros
-    fft_bytes = int(0.58 * 2 * 3 * 2 * big * nc * cplx_b)
-    other = (4 * npx * nc + 6 * npx) * cplx_b + big * 4
+    fft_bytes = (21 + 21) * npx * nc * cplx_b + big * 4
+    other = (4 * npx * nc + 6 * npx) * cplx_b
     bytes_per_iter = fft_bytes + other
     hbm = 819e9  # v5e HBM bandwidth
     sol = hbm / bytes_per_iter

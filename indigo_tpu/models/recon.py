@@ -66,8 +66,10 @@ class SenseRecon:
 
         Tf = toeplitz_kernel(traj, self.img_shape, oversamp=oversamp,
                              width=width, weights=w)
-        # device-resident payloads (uploaded once)
-        self._Tf = jax.device_put(jnp.asarray(Tf))
+        from ..ops.dft_fft import block_spectrum
+        # device-resident payloads (uploaded once); the Toeplitz spectrum is
+        # pre-permuted host-side into the matmul-DFT block layout
+        self._Tf = jax.device_put(jnp.asarray(block_spectrum(Tf)))
         self._maps = jax.device_put(cplx.pack(maps))
         self._wd = jax.device_put(jnp.asarray(self._w_sorted))
         if lamda is None:
@@ -82,7 +84,7 @@ class SenseRecon:
             rhs = self.A.apply(w[:, None] * y_sorted, adjoint=True)
             xs, resids = batched_cg(
                 lambda v: sense_normal_batched(
-                    Tf, m, v, coil_chunk=self.coil_chunk),
+                    Tf, m, v, coil_chunk=self.coil_chunk, layout="block"),
                 rhs.reshape(1, n), lamda=self.lamda, iters=self.iters)
             return xs[0], resids[:, 0]
 

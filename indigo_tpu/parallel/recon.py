@@ -25,7 +25,7 @@ __all__ = [
 ]
 
 
-def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
+def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
     """Batched Toeplitz SENSE normal op.
 
     Tf:   (*2N)      real   — Toeplitz spectrum (replicated)
@@ -36,7 +36,15 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
     ``coil_chunk``: process coils in chunks of this size with a lax.scan
     accumulator — bounds the doubled-grid working set to
     S*coil_chunk*(2N)^d so 256^3 volumes fit one chip's HBM.
+
+    ``layout``: how Tf is stored. "raw" (natural frequency order) permutes
+    it on device once per trace (hoisted out of solver loops by XLA);
+    "block" means the caller already applied ``ops.dft_fft.block_spectrum``
+    host-side — the production path (bench.py, SenseRecon). Both run the
+    MXU matmul-DFT pipeline (ops/dft_fft.py); "fft" keeps the per-axis
+    jnp.fft path (ops/toeplitz_fft.py) for cross-checks.
     """
+    from ..ops.dft_fft import toeplitz_apply_block, block_perm
     from ..ops.toeplitz_fft import fft_pad2x, ifft_crop2x
 
     img_shape = maps.shape[1:]
@@ -46,12 +54,22 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None):
     v = xs.reshape((S,) + img_shape)
     axes = tuple(range(2, 2 + nd))
 
+    if layout == "raw":
+        Tf = Tf[np.ix_(*(block_perm(int(s)) for s in Tf.shape))]
+        layout = "block"
+
     def chunk_contrib(m):
         # m: (cc, *img) -> sum_c conj(m_c) * Toep(m_c * v) : (S, *img)
         u = m[None] * v[:, None]
-        U = fft_pad2x(u, axes)
-        U = Tf[None, None] * U
-        u = ifft_crop2x(U, axes)
+        cc = m.shape[0]
+        if layout == "block":
+            u = toeplitz_apply_block(
+                Tf, u.reshape((S * cc,) + img_shape)
+            ).reshape((S, cc) + img_shape)
+        else:
+            U = fft_pad2x(u, axes)
+            U = Tf[None, None] * U
+            u = ifft_crop2x(U, axes)
         return jnp.sum(jnp.conj(m)[None] * u, axis=1)
 
     if coil_chunk is not None:

@@ -82,10 +82,21 @@ def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None,
 
 @register_pytree_node_class
 class ToeplitzNormal(Operator):
-    """Self-adjoint operator x -> crop(IFFT(T * FFT(pad(x)))), shape (N, N)."""
+    """Self-adjoint operator x -> crop(IFFT(T * FFT(pad(x)))), shape (N, N).
 
-    def __init__(self, Tf, img_shape, name=None):
+    ``method``: "dft" (default) runs the MXU matmul-DFT pipeline with the
+    spectrum stored in block even/odd layout (ops/dft_fft.py — 2.5x the
+    jnp.fft path on v5e); "fft" keeps the per-axis jnp.fft path
+    (ops/toeplitz_fft.py) for cross-checks.
+    """
+
+    def __init__(self, Tf, img_shape, name=None, method="dft"):
+        assert method in ("dft", "fft")
+        if method == "dft":
+            from .ops.dft_fft import block_spectrum
+            Tf = block_spectrum(np.asarray(Tf))  # host-side, once
         self._T = jnp.asarray(Tf, dtype=jnp.float32)
+        self._method = method
         self._vol = tuple(int(s) for s in img_shape)
         assert self._T.ndim == len(self._vol)
         self._name = name
@@ -104,17 +115,24 @@ class ToeplitzNormal(Operator):
         return jnp.complex64
 
     def apply(self, x, adjoint=False):
-        # self-adjoint: forward == adjoint. Zero-aware padded FFTs (corner
-        # embedding; circular convolution is translation invariant) save
-        # ~1.7x HBM traffic vs transforming the materialized doubled grid.
-        from .ops.toeplitz_fft import fft_pad2x, ifft_crop2x
-
+        # self-adjoint: forward == adjoint. Zero-aware padded transforms
+        # (corner embedding; circular convolution is translation invariant)
+        # never touch the padding zeros.
         K = x.shape[1]
-        v = x.reshape(self._vol + (K,))
-        axes = tuple(range(len(self._vol)))
-        V = fft_pad2x(v.astype(jnp.complex64), axes)
-        V = self._T[..., None] * V
-        v = ifft_crop2x(V, axes)
+        v = x.reshape(self._vol + (K,)).astype(jnp.complex64)
+        if self._method == "dft":
+            from .ops.dft_fft import toeplitz_apply_block
+
+            v = jnp.moveaxis(v, -1, 0)          # (K, *vol): batch leading
+            v = toeplitz_apply_block(self._T, v)
+            v = jnp.moveaxis(v, 0, -1)
+        else:
+            from .ops.toeplitz_fft import fft_pad2x, ifft_crop2x
+
+            axes = tuple(range(len(self._vol)))
+            V = fft_pad2x(v, axes)
+            V = self._T[..., None] * V
+            v = ifft_crop2x(V, axes)
         return v.reshape(-1, K).astype(jnp.complex64)
 
     def _describe(self):
@@ -122,13 +140,13 @@ class ToeplitzNormal(Operator):
                 f"{self.shape[1]}> (2x-grid {list(self._T.shape)})")
 
     def tree_flatten(self):
-        return (self._T,), (self._vol, self._name)
+        return (self._T,), (self._vol, self._name, self._method)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj._T,) = children
-        obj._vol, obj._name = aux
+        obj._vol, obj._name, obj._method = aux
         return obj
 
 
