@@ -91,11 +91,20 @@ def main():
     import jax
     import jax.numpy as jnp
     from indigo_tpu import cplx
+    from indigo_tpu.ops import use_pallas
     from indigo_tpu.ops.dft_fft import block_spectrum
+    from indigo_tpu.ops.dft_pallas import pallas_spectrum, pallas_supported
     from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
 
-    # spectrum pre-permuted host-side into the matmul-DFT block layout
-    Tf_d = jax.device_put(jnp.asarray(block_spectrum(Tf)))
+    # spectrum pre-permuted host-side into the layout of the selected path:
+    # fused Pallas kernels on TPU (supported volumes), matmul-DFT otherwise
+    if use_pallas() and pallas_supported(img_shape):
+        layout = "pallas"
+        Tf_d = jax.device_put(jnp.asarray(pallas_spectrum(Tf)))
+    else:
+        layout = "block"
+        Tf_d = jax.device_put(jnp.asarray(block_spectrum(Tf)))
+    print(f"[bench] toeplitz path: {layout}", file=sys.stderr)
     maps_d = jax.device_put(cplx.pack(maps))
     rhs_d = jax.device_put(cplx.pack(rhs))
 
@@ -107,7 +116,7 @@ def main():
             xs, resids = batched_cg(
                 lambda v: sense_normal_batched(Tf, m, v,
                                                coil_chunk=coil_chunk,
-                                               layout="block"),
+                                               layout=layout),
                 b, lamda=1.0, iters=k)
             return resids[-1], jnp.linalg.norm(xs.real)
         return solve
@@ -121,7 +130,7 @@ def main():
             def body(v, _):
                 out = sense_normal_batched(Tf, m, v,
                                            coil_chunk=coil_chunk,
-                                           layout="block")
+                                           layout=layout)
                 # renormalize so the iterated value stays finite
                 return out / jnp.maximum(
                     jnp.linalg.norm(out.real), 1e-30), None
@@ -165,14 +174,16 @@ def main():
           f"({per_apply*1e3:.1f} ms/apply)", file=sys.stderr)
 
     # roofline estimate for one CG iteration (stderr only): minimum HBM
-    # traffic of the matmul-DFT pipeline (ops/dft_fft.py) — per axis pass
-    # read V write 2V growing 1->8V forward and mirrored back, kernel
-    # multiply fused into the adjacent contraction, + spectrum read.
+    # traffic of the selected path. Pallas (ops/dft_pallas.py): 3 fused
+    # kernels moving 1+4 | 4+4 | 4+1 volumes + entry transpose + spectrum.
+    # jnp matmul-DFT (ops/dft_fft.py): per axis read V write 2V growing
+    # 1->8V forward and mirrored back, kernel multiply fused.
     nc = maps.shape[0]
     big = int(np.prod(Tf.shape))
     npx = int(np.prod(img_shape))
     cplx_b = 8
-    fft_bytes = (21 + 21) * npx * nc * cplx_b + big * 4
+    vols = 20 if layout == "pallas" else 42
+    fft_bytes = vols * npx * nc * cplx_b + big * 4
     other = (4 * npx * nc + 6 * npx) * cplx_b
     bytes_per_iter = fft_bytes + other
     hbm = 819e9  # v5e HBM bandwidth

@@ -66,10 +66,18 @@ class SenseRecon:
 
         Tf = toeplitz_kernel(traj, self.img_shape, oversamp=oversamp,
                              width=width, weights=w)
+        from ..ops import use_pallas
         from ..ops.dft_fft import block_spectrum
+        from ..ops.dft_pallas import pallas_spectrum, pallas_supported
         # device-resident payloads (uploaded once); the Toeplitz spectrum is
-        # pre-permuted host-side into the matmul-DFT block layout
-        self._Tf = jax.device_put(jnp.asarray(block_spectrum(Tf)))
+        # pre-permuted host-side into the layout of the fastest path for
+        # this platform/volume (fused Pallas kernels or jnp matmul-DFT)
+        if use_pallas() and pallas_supported(self.img_shape):
+            self._layout = "pallas"
+            self._Tf = jax.device_put(jnp.asarray(pallas_spectrum(Tf)))
+        else:
+            self._layout = "block"
+            self._Tf = jax.device_put(jnp.asarray(block_spectrum(Tf)))
         self._maps = jax.device_put(cplx.pack(maps))
         self._wd = jax.device_put(jnp.asarray(self._w_sorted))
         if lamda is None:
@@ -84,7 +92,8 @@ class SenseRecon:
             rhs = self.A.apply(w[:, None] * y_sorted, adjoint=True)
             xs, resids = batched_cg(
                 lambda v: sense_normal_batched(
-                    Tf, m, v, coil_chunk=self.coil_chunk, layout="block"),
+                    Tf, m, v, coil_chunk=self.coil_chunk,
+                    layout=self._layout),
                 rhs.reshape(1, n), lamda=self.lamda, iters=self.iters)
             return xs[0], resids[:, 0]
 

@@ -40,11 +40,15 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
     ``layout``: how Tf is stored. "raw" (natural frequency order) permutes
     it on device once per trace (hoisted out of solver loops by XLA);
     "block" means the caller already applied ``ops.dft_fft.block_spectrum``
-    host-side — the production path (bench.py, SenseRecon). Both run the
-    MXU matmul-DFT pipeline (ops/dft_fft.py); "fft" keeps the per-axis
-    jnp.fft path (ops/toeplitz_fft.py) for cross-checks.
+    host-side. Both run the MXU matmul-DFT pipeline (ops/dft_fft.py).
+    "pallas" means the caller applied ``ops.dft_pallas.pallas_spectrum``
+    and the fused Pallas kernels run (3D TPU fast path — bench.py,
+    SenseRecon). "fft" keeps the per-axis jnp.fft path
+    (ops/toeplitz_fft.py) for cross-checks.
     """
+    import jax as _jax
     from ..ops.dft_fft import toeplitz_apply_block, block_perm
+    from ..ops.dft_pallas import toeplitz_apply_pallas
     from ..ops.toeplitz_fft import fft_pad2x, ifft_crop2x
 
     img_shape = maps.shape[1:]
@@ -62,7 +66,12 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
         # m: (cc, *img) -> sum_c conj(m_c) * Toep(m_c * v) : (S, *img)
         u = m[None] * v[:, None]
         cc = m.shape[0]
-        if layout == "block":
+        if layout == "pallas":
+            u = toeplitz_apply_pallas(
+                Tf, u.reshape((S * cc,) + img_shape),
+                interpret=_jax.default_backend() == "cpu",
+            ).reshape((S, cc) + img_shape)
+        elif layout == "block":
             u = toeplitz_apply_block(
                 Tf, u.reshape((S * cc,) + img_shape)
             ).reshape((S, cc) + img_shape)

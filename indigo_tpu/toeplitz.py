@@ -84,17 +84,33 @@ def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None,
 class ToeplitzNormal(Operator):
     """Self-adjoint operator x -> crop(IFFT(T * FFT(pad(x)))), shape (N, N).
 
-    ``method``: "dft" (default) runs the MXU matmul-DFT pipeline with the
-    spectrum stored in block even/odd layout (ops/dft_fft.py — 2.5x the
-    jnp.fft path on v5e); "fft" keeps the per-axis jnp.fft path
-    (ops/toeplitz_fft.py) for cross-checks.
+    ``method``:
+      "auto" (default) — the fused Pallas kernels (ops/dft_pallas.py) when
+        running on TPU with a supported 3D volume, else "dft";
+      "pallas" — force the fused Pallas kernels (interpret-mode on CPU);
+      "dft"    — the MXU matmul-DFT pipeline (ops/dft_fft.py — 2.5x the
+        jnp.fft path on v5e, runs everywhere);
+      "fft"    — the per-axis jnp.fft path (ops/toeplitz_fft.py), kept as
+        a cross-check.
     """
 
-    def __init__(self, Tf, img_shape, name=None, method="dft"):
-        assert method in ("dft", "fft")
-        if method == "dft":
+    def __init__(self, Tf, img_shape, name=None, method="auto"):
+        assert method in ("auto", "pallas", "dft", "fft")
+        img_shape = tuple(int(s) for s in img_shape)
+        if method == "auto":
+            from .ops import use_pallas
+            from .ops.dft_pallas import pallas_supported
+            method = ("pallas" if use_pallas() and pallas_supported(
+                img_shape) else "dft")
+        if method == "pallas":
+            from .ops.dft_pallas import pallas_spectrum, pallas_supported
+            assert pallas_supported(img_shape), (
+                f"pallas path needs a 3D volume with dims multiple-of-8 "
+                f"<=128, got {img_shape}")
+            Tf = pallas_spectrum(np.asarray(Tf))  # host-side, once
+        elif method == "dft":
             from .ops.dft_fft import block_spectrum
-            Tf = block_spectrum(np.asarray(Tf))  # host-side, once
+            Tf = block_spectrum(np.asarray(Tf))   # host-side, once
         self._T = jnp.asarray(Tf, dtype=jnp.float32)
         self._method = method
         self._vol = tuple(int(s) for s in img_shape)
@@ -120,7 +136,15 @@ class ToeplitzNormal(Operator):
         # never touch the padding zeros.
         K = x.shape[1]
         v = x.reshape(self._vol + (K,)).astype(jnp.complex64)
-        if self._method == "dft":
+        if self._method == "pallas":
+            import jax
+            from .ops.dft_pallas import toeplitz_apply_pallas
+
+            v = jnp.moveaxis(v, -1, 0)          # (K, *vol): batch leading
+            v = toeplitz_apply_pallas(
+                self._T, v, interpret=jax.default_backend() == "cpu")
+            v = jnp.moveaxis(v, 0, -1)
+        elif self._method == "dft":
             from .ops.dft_fft import toeplitz_apply_block
 
             v = jnp.moveaxis(v, -1, 0)          # (K, *vol): batch leading

@@ -28,7 +28,8 @@ def main():
             np.asarray(f())
             return time.time() - t0
         run(f1); run(f2)          # compile + warm
-        a = run(f1); b = run(f2)
+        a = min(run(f1) for _ in range(3))
+        b = min(run(f2) for _ in range(3))
         return max((b - a) / (k2 - k1), 1e-9)
 
     def report(name, sec, bytes_ideal):
@@ -138,6 +139,127 @@ def main():
         sec = timed_pair(scanner(roundtrip), k1=2, k2=4)
         ideal = (21 + 21) * V + 4 * V
         report(f"toeplitz roundtrip (dot,{prec})", sec, ideal)
+
+    if {"stage1", "stage3", "tfonly", "dftmm_notf", "stage1r",
+            "stage1prec", "stageminor", "stageint", "bigdot"} & set(cases):
+        from indigo_tpu.ops.dft_fft import dft_pad2x_mats
+        Mf, Mi = dft_pad2x_mats(128)
+        perm = np.concatenate([np.arange(0, 256, 2), np.arange(1, 256, 2)])
+        Tf_np = rng.standard_normal((256, 256, 256), dtype=np.float32)
+        Tfb_d = jax.device_put(jnp.asarray(Tf_np[np.ix_(perm, perm, perm)]))
+
+        def stage(x, M):
+            d = x.ndim
+            ls = "abcdefg"[:d]
+            return jnp.einsum(
+                f"{ls[0]}l{ls[2:]},ml->{ls[0]}{ls[2:]}m", x, jnp.asarray(M),
+                precision="highest")
+
+        if "stage1" in cases:
+            # single fwd stage, V in -> 2V out, then crop back to V so the
+            # scan carry shape is stable (crop read+write adds 4V)
+            sec = timed_pair(scanner(
+                lambda x: stage(x, Mf)[..., ::2]))
+            report("fwd stage1 (3V dot + 4V crop)", sec, 7 * V)
+
+        if "stage1prec" in cases:
+            for prec in ("default", "high", "highest"):
+                def st(x, p=prec):
+                    y = jnp.einsum("albc,ml->abcm", x, jnp.asarray(Mf),
+                                   precision=p)
+                    return y[..., ::2]
+                sec = timed_pair(scanner(st))
+                report(f"fwd stage1 prec={prec}", sec, 7 * V)
+
+        if "stageminor" in cases:
+            # contraction on the MINOR axis: y = x2d @ Mf.T, same traffic
+            for prec in ("default", "highest"):
+                def st(x, p=prec):
+                    x2 = x.reshape(8 * 128 * 128, 128)
+                    y = jnp.einsum("rl,ml->rm", x2, jnp.asarray(Mf),
+                                   precision=p)
+                    return y[:, ::2].reshape(x.shape)
+                sec = timed_pair(scanner(st))
+                report(f"minor-contract dot p={prec}", sec, 7 * V)
+
+        if "stageint" in cases:
+            # complex as interleaved real: bitcast c64 -> (..., 2) f32,
+            # complex algebra folded into the doubled constant matrix
+            M2i = np.zeros((512, 256), np.float32)
+            M2i[0::2, 0::2] = Mf.real
+            M2i[0::2, 1::2] = -Mf.imag
+            M2i[1::2, 0::2] = Mf.imag
+            M2i[1::2, 1::2] = Mf.real
+
+            def st(x):
+                xr = x.view(jnp.float32)                # (..., 2*minor)
+                x2 = xr.reshape(8, 128, 128, 128, 2)
+                y2 = jnp.einsum("albcg,mlg->abcm",
+                                x2, jnp.asarray(M2i.reshape(512, 128, 2)),
+                                precision="highest")
+                y = y2.reshape(8, 128, 128, 256, 2)[..., ::2, :]
+                return y.reshape(8, 128, 128, 256).view(jnp.complex64)
+            sec = timed_pair(scanner(st))
+            report("stage1 interleaved-real", sec, 7 * V)
+
+        if "bigdot" in cases:
+            # best-case pure real dot, same bytes as stage1: (1M,256)@(256,512)
+            M2 = rng.standard_normal((256, 512), dtype=np.float32)
+
+            def st(x):
+                xr = x.view(jnp.float32)
+                x2 = xr.reshape(8 * 128 * 128, 256)
+                y2 = jnp.dot(x2, jnp.asarray(M2), precision="highest")
+                y = y2.reshape(8, 128, 128, 2, 256)[..., ::2]
+                return y.reshape(8, 128, 128, 256).view(jnp.complex64)
+            sec = timed_pair(scanner(st))
+            report("plain real dot same bytes", sec, 7 * V)
+
+        if "stage1r" in cases:
+            # same stage as a K-doubled REAL dot (complex algebra in the
+            # matrix): x2 (B, 2l, f) real; M2 (2m, 2l)
+            M2 = np.block([[Mf.real, -Mf.imag],
+                           [Mf.imag, Mf.real]]).astype(np.float32)
+
+            def st_r(x):
+                x2 = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=1)
+                y2 = jnp.einsum("albc,ml->abcm", x2, jnp.asarray(M2),
+                                precision="highest")
+                m = y2.shape[-1] // 2
+                y = lax.complex(y2[..., :m], y2[..., m:])
+                return y[..., ::2]
+            sec = timed_pair(scanner(st_r))
+            report("fwd stage1 REAL-K2 (+crop)", sec, 7 * V)
+
+        if "stage3" in cases:
+            # stage on a 4V operand (the big fwd stage): reshape x to
+            # (8, 128, 4*128*128) stands in for (s, x, Z2*Y2)
+            def st3(x):
+                big = jnp.concatenate([x, x, x, x], axis=3)  # 4V build: 8V io
+                y = stage(big.reshape(8, 128, 4 * 128 * 128), Mf)
+                return y.reshape(8, 4 * 128, 128, 256)[:, :128, :, ::2]
+            sec = timed_pair(scanner(st3), k1=2, k2=4)
+            report("fwd stage3 (4V->8V dot +8V+9V)", sec, 29 * V)
+
+        if "tfonly" in cases:
+            def tf_mult(x):
+                big = jnp.concatenate([x, x], axis=1)
+                big = jnp.concatenate([big, big], axis=2)
+                big = jnp.concatenate([big, big], axis=3)   # 8V (read V, write 8V)
+                big = Tfb_d[None] * big                     # 8V+8V(+4V Tf)
+                return big[:, :128, :128, :128]             # 8V + V
+            sec = timed_pair(scanner(tf_mult), k1=2, k2=4)
+            report("Tf multiply (8V io x2 +26V)", sec, 46 * V)
+
+        if "dftmm_notf" in cases:
+            def rt(x):
+                for _ in range(3):
+                    x = stage(x, Mf)
+                for _ in range(3):
+                    x = stage(x, Mi)
+                return x
+            sec = timed_pair(scanner(rt), k1=2, k2=4)
+            report("roundtrip 6 dots, no Tf", sec, 42 * V)
 
     if "dftmm_check" in cases:
         # correctness vs current implementation on small shape
