@@ -5,8 +5,16 @@ SURVEY.md §5) — this is the optional TPU-native extra the survey sketches
 for very long FISTA/CG runs: snapshot any pytree of solver state to an .npz
 (complex leaves stored as split re/im, so files round-trip on backends
 without complex buffers) and restore it later.
+
+The tree STRUCTURE is serialized alongside the leaves (pickled PyTreeDef —
+all indigo_tpu operators are registered pytree nodes with picklable aux
+data), so ``load_state(path)`` restores the full pytree with no template.
+Only load checkpoints you wrote yourself: like every pickle-based format,
+the structure record can execute code on load.
 """
 from __future__ import annotations
+
+import pickle
 
 import numpy as np
 
@@ -28,20 +36,24 @@ def save_state(path, state):
             flat[f"leaf{i}_im"] = np.asarray(leaf.im)
         else:
             flat[f"leaf{i}"] = np.asarray(leaf)
-    np.savez(path, __treedef__=np.frombuffer(
-        str(treedef).encode(), dtype=np.uint8), **flat)
+    np.savez(path,
+             __treedef_pkl__=np.frombuffer(pickle.dumps(treedef),
+                                           dtype=np.uint8),
+             **flat)
     return path
 
 
 def load_state(path, like=None):
-    """Restore a pytree saved by save_state.
+    """Restore a pytree saved by ``save_state``.
 
-    ``like``: a pytree with the same structure (its treedef is used for
-    unflattening; required because treedefs aren't generally serializable).
-    Without ``like``, returns the flat list of leaves in saved order.
+    With no arguments beyond ``path``, the saved tree structure is used and
+    the full pytree comes back as written (complex leaves as host numpy
+    complex arrays). Passing ``like`` (a pytree with the same structure)
+    overrides the stored structure — useful for loading into a tree whose
+    node types have since changed.
     """
     with np.load(path) as z:
-        names = [k for k in z.files if k != "__treedef__"]
+        names = [k for k in z.files if not k.startswith("__")]
         idxs = sorted({int(k.split("_")[0][4:]) for k in names})
         leaves = []
         for i in idxs:
@@ -49,7 +61,12 @@ def load_state(path, like=None):
                 leaves.append(z[f"leaf{i}_re"] + 1j * z[f"leaf{i}_im"])
             else:
                 leaves.append(z[f"leaf{i}"])
-    if like is None:
-        return leaves
-    _, treedef = jax.tree_util.tree_flatten(like)
+        blob = z["__treedef_pkl__"].tobytes() if "__treedef_pkl__" in z \
+            else None
+    if like is not None:
+        _, treedef = jax.tree_util.tree_flatten(like)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    if blob is None:
+        return leaves  # legacy checkpoint without a structure record
+    treedef = pickle.loads(blob)
     return jax.tree_util.tree_unflatten(treedef, leaves)

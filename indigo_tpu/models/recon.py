@@ -64,8 +64,9 @@ class SenseRecon:
         self._w_sorted = np.tile(w[self.plan.perm], self.nc).astype(
             np.float32)
 
-        Tf = toeplitz_kernel(traj, self.img_shape, oversamp=oversamp,
-                             width=width, weights=w)
+        Tf, self.kernel_info = toeplitz_kernel(
+            traj, self.img_shape, oversamp=oversamp, width=width,
+            weights=w, return_info=True, warn=False)
         from ..ops import use_pallas
         from ..ops.dft_fft import block_spectrum
         from ..ops.dft_pallas import pallas_spectrum, pallas_supported
@@ -81,8 +82,17 @@ class SenseRecon:
         self._maps = jax.device_put(cplx.pack(maps))
         self._wd = jax.device_put(jnp.asarray(self._w_sorted))
         if lamda is None:
-            lamda = 1e-3 * float(np.abs(Tf).max())
-        self.lamda = float(lamda)
+            lamda = 1e-3 * self.kernel_info["max"]
+        # Stability floor: the restricted Toeplitz operator is PSD up to
+        # GRIDDING error (its spectrum's pointwise negatives are normal
+        # Dirichlet structure, ~7% of peak even for accurate kernels), so
+        # the indefiniteness that can break CG is of order the KB-kernel
+        # aliasing amplitude. Floor lamda at that scale — ~10^(1-width),
+        # 3x worse below 1.25x oversampling — which coincides with the
+        # default lamda for default parameters and grows protectively for
+        # deliberately coarse kernels. No operator distortion.
+        eps = 10.0 ** (1 - width) * (3.0 if oversamp < 1.25 else 1.0)
+        self.lamda = max(float(lamda), eps * self.kernel_info["max"])
 
         n = int(np.prod(self.img_shape))
 

@@ -157,37 +157,62 @@ def soft_thresh(x, lamda):
     return (scale * x).astype(x.dtype)
 
 
-def apgd(gradf, proxg, alpha, x0, maxiter=100, history=False):
+def apgd(gradf, proxg, alpha, x0, maxiter=100, history=False, tol=0.0,
+         objective=None):
     """Accelerated proximal gradient descent (FISTA).
 
     Reference parity: ``Backend.apgd`` (SURVEY.md §2 "Solvers"). Minimizes
     f(x) + g(x) given ``gradf(x)`` and ``proxg(v, step)`` with step size
     ``alpha``, entirely inside one ``lax.scan``.
 
+    ``tol``: optional stopping criterion on the relative step
+    ||x_k - x_{k-1}|| / max(||x_k||, eps); once met, the iterate is frozen
+    for the remaining scan steps (same on-device pattern as ``cg``'s
+    history path) and ``info['iters']`` reports the iterations actually
+    taken. ``objective``: optional callable f(x) -> scalar evaluated each
+    iteration into ``info['objs']`` when ``history=True`` — the on-device
+    equivalent of the reference's per-iteration objective log.
+
     Returns ``(x, info)``; with ``history=True`` info carries per-iteration
-    objective-surrogate norms ||x_k - x_{k-1}||.
+    step norms ``deltas`` (frozen after convergence) and, if ``objective``
+    is given, ``objs``.
     """
-    core = lambda x0: _apgd_core(gradf, proxg, alpha, x0, maxiter, history)
+    core = lambda x0: _apgd_core(gradf, proxg, alpha, x0, maxiter, history,
+                                 tol, objective)
     return cplx.eager_call(core, x0)
 
 
-def _apgd_core(gradf, proxg, alpha, x0, maxiter, history):
+def _apgd_core(gradf, proxg, alpha, x0, maxiter, history, tol=0.0,
+               objective=None):
     x0 = jnp.asarray(x0)
 
     def body(carry, _):
-        x, z, t = carry
+        x, z, t, k, done = carry
         g = gradf(z)
         xn = proxg(z - alpha * g, alpha)
         tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         zn = xn + ((t - 1.0) / tn).astype(xn.dtype) * (xn - x)
         delta = jnp.linalg.norm((xn - x).ravel())
-        return (xn, zn, tn), delta
+        rel = delta / jnp.maximum(jnp.linalg.norm(xn.ravel()), 1e-30)
+        # tol is static: no convergence branch is traced when tol == 0
+        new_done = done | (rel <= tol) if tol > 0 else done
+        xn, zn, tn = jax.tree.map(
+            lambda new, old: jnp.where(done, old, new),
+            (xn, zn, tn), (x, z, t))
+        k = jnp.where(done, k, k + 1)
+        out = (jnp.where(done, 0.0, delta),)
+        if objective is not None:
+            out = out + (objective(xn),)
+        return (xn, zn, tn, k, new_done), out
 
-    (x, _, _), deltas = lax.scan(
-        body, (x0, x0, jnp.float32(1.0)), None, length=maxiter)
-    info = {"iters": jnp.int32(maxiter)}
+    (x, _, _, k, _), outs = lax.scan(
+        body, (x0, x0, jnp.float32(1.0), jnp.int32(0), jnp.bool_(False)),
+        None, length=maxiter)
+    info = {"iters": k}
     if history:
-        info["deltas"] = deltas
+        info["deltas"] = outs[0]
+        if objective is not None:
+            info["objs"] = outs[1]
     return x, info
 
 

@@ -33,8 +33,22 @@ __all__ = ["ToeplitzNormal", "toeplitz_kernel", "sense_normal_toeplitz"]
 
 
 def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None,
-                    psd_clip=False):
+                    psd_clip=False, return_info=False, warn=True):
     """Real spectrum T (2N grid) of the NUFFT normal-operator kernel.
+
+    Negative spectrum values are NORMAL: T is a sum of Dirichlet kernels
+    (one per sample), which take negative values pointwise; only the
+    *restricted* operator crop.IFFT.T.FFT.pad is PSD. By Parseval, its
+    smallest eigenvalue is bounded below by min(T), so CG on K + lamda*I
+    is guaranteed stable whenever lamda > -min(T) — SenseRecon applies
+    exactly that floor (no operator distortion). ``psd_clip=True`` instead
+    clips negatives to zero: cheap insurance for standalone use, at the
+    cost of perturbing the operator.
+
+    ``return_info``: also return a dict with ``min``/``max``/``clipped``
+    diagnostics (surfaced by SenseRecon as ``kernel_info``). ``warn``:
+    print a stderr hint for meaningfully-indefinite kernels (callers that
+    apply the lamda floor pass warn=False).
 
     Computed once, entirely host-side (numpy/scipy — no device ELL tiles are
     built for the doubled grid): the gridded adjoint NUFFT of ``weights``
@@ -66,18 +80,22 @@ def toeplitz_kernel(traj, img_shape, oversamp=1.5, width=5, weights=None,
     t = (u[sl] * deapodization(big, grid2, width=width, beta=beta)
          ).astype(np.complex64)
     Tf = sfft.fftn(np.fft.ifftshift(t), workers=-1).real.astype(np.float32)
-    # The exact normal-op spectrum is >= 0; gridding error can push low-
-    # accuracy kernels slightly negative, which makes CG diverge. Warn, and
-    # clip to PSD on request.
     tmin = float(Tf.min())
-    if tmin < -1e-3 * float(np.abs(Tf).max()):
-        import sys
-        print(f"[indigo_tpu.toeplitz] kernel spectrum has negative values "
-              f"(min {tmin:.3e}); raise width/oversamp or pass "
-              f"psd_clip=True to keep CG stable", file=sys.stderr)
+    tmax = float(np.abs(Tf).max())
+    clipped = False
     if psd_clip:
         Tf = np.maximum(Tf, 0.0)
-    return np.ascontiguousarray(Tf)
+        clipped = tmin < 0
+    elif warn and tmin < -1e-3 * tmax:
+        import sys
+        print(f"[indigo_tpu.toeplitz] kernel spectrum has negative values "
+              f"(min {tmin:.3e}); CG on K + lamda*I is stable for "
+              f"lamda > {-tmin:.3e} (SenseRecon applies this floor), or "
+              f"pass psd_clip=True", file=sys.stderr)
+    Tf = np.ascontiguousarray(Tf)
+    if return_info:
+        return Tf, {"min": tmin, "max": tmax, "clipped": clipped}
+    return Tf
 
 
 @register_pytree_node_class

@@ -103,3 +103,46 @@ def _spd(n, rng):
     A = (B.conj().T @ B + 0.5 * np.eye(n)).astype(np.complex64)
     x = rand64c(n, rng=rng)
     return A, x, (A @ x).astype(np.complex64)
+
+
+def test_checkpoint_restores_without_template(tmp_path, rng):
+    """load_state(path) alone rebuilds the full pytree (treedef stored)."""
+    import os
+    from indigo_tpu.utils import rand64c
+
+    state = {"x": rand64c(9, rng=rng), "k": np.int32(3),
+             "nested": [np.float32(1.5), rand64c(2, 3, rng=rng)]}
+    p = save_state(os.path.join(tmp_path, "c.npz"), state)
+    out = load_state(p)
+    assert set(out) == {"x", "k", "nested"}
+    assert np.allclose(out["x"], state["x"])
+    assert int(out["k"]) == 3
+    assert np.allclose(out["nested"][1], state["nested"][1])
+
+
+def test_toeplitz_kernel_info_and_lamda_floor(rng):
+    """Kernel diagnostics expose the spectrum min; SenseRecon's lamda floor
+    (> -min, valid by Parseval) makes the CG system PSD without touching
+    the operator, even for deliberately coarse kernels."""
+    from indigo_tpu.toeplitz import toeplitz_kernel
+    from indigo_tpu.models.recon import SenseRecon
+
+    traj = (rng.random((60, 2)) - 0.5)
+    Tf, info = toeplitz_kernel(traj, (16, 16), oversamp=1.25, width=3,
+                               return_info=True, warn=False)
+    assert info["min"] == float(Tf.min())
+    assert not info["clipped"]
+    # psd_clip opt-in clips and records it
+    Tfc, infoc = toeplitz_kernel(traj, (16, 16), oversamp=1.25, width=3,
+                                 psd_clip=True, return_info=True)
+    assert Tfc.min() >= 0.0 and infoc["clipped"] == (info["min"] < 0)
+
+    maps = np.ones((1, 16, 16), np.complex64)
+    r = SenseRecon(traj, maps, oversamp=1.25, width=3, iters=8, dcf=None)
+    # coarse kernel (width 3): gridding-error lamda floor engages
+    assert r.lamda >= 1e-2 * r.kernel_info["max"]
+    y = r.simulate(np.ones((16, 16), np.complex64))
+    x, resids = r(y, return_resids=True)
+    assert np.isfinite(x).all()
+    # PSD system => CG residual decreases
+    assert resids[-1] < resids[0]

@@ -90,3 +90,25 @@ def test_fista_lasso(rng):
     # check residual small on support and objective below initial.
     obj = 0.5 * np.linalg.norm(A @ x - b) ** 2
     assert obj < 1e-3
+
+
+def test_apgd_tol_stops_early(rng):
+    """Smooth strongly-convex quadratic: apgd with tol freezes early and
+    reports iterations actually taken."""
+    n = 24
+    d = jnp.asarray(1.0 + np.arange(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    gradf = lambda x: d * x - b
+    proxg = lambda v, a: v
+    x, info = apgd(gradf, proxg, 1.0 / float(d.max()),
+                   jnp.zeros(n, jnp.float32), maxiter=500, tol=1e-8,
+                   history=True, objective=lambda x: 0.5 * jnp.vdot(
+                       x, d * x).real - jnp.vdot(b, x).real)
+    assert int(info["iters"]) < 500
+    assert np.allclose(np.asarray(x), np.asarray(b / d), atol=1e-4)
+    objs = np.asarray(info["objs"])
+    k = int(info["iters"])
+    # objective history monotone-ish down to convergence, frozen after
+    assert abs(objs[min(k, len(objs) - 1)] - objs[-1]) < 1e-6
+    deltas = np.asarray(info["deltas"])
+    assert (deltas[k:] == 0).all()
