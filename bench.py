@@ -1,17 +1,22 @@
 """Headline benchmark: 3D multicoil NUFFT CG-SENSE (BASELINE.json metric).
 
-Prints ONE JSON line:
+Prints ONE JSON line per benched config; the LAST line is the headline
+(128^3, 8 coils, ~260k radial samples — comparable across rounds):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-The metric is CG iterations/sec on a 3D SENSE reconstruction (128^3 image,
-8 coils, ~260k radial samples) using the Toeplitz-embedded normal operator —
-the production CG path (each iteration = one doubled-grid batched FFT
-round-trip + coil combine; no host syncs).
+The metric is CG iterations/sec using the Toeplitz-embedded normal operator
+— the production CG path (each iteration = one doubled-grid batched FFT
+round-trip + coil combine; no host syncs). The default run also measures
+the full BASELINE config-3 size (256^3, 1M samples, coil-chunked) and
+emits its JSON line first.
 
 vs_baseline compares against the committed CPU reference measurement
 (bench_cpu.json, generated with `python bench.py --cpu`), mirroring the
 reference's "numpy backend is the baseline" convention (SURVEY.md §6).
 Detailed stage timings and a roofline estimate go to stderr.
+
+Flags: --small (64^3 only), --huge (256^3 only), --cpu (write the CPU
+baseline), --sharded (also run 256^3 volume-sharded over all devices).
 """
 import json
 import os
@@ -19,6 +24,10 @@ import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def build_problem(n=128, nc=8, nspokes=2048, nread=128, seed=0):
@@ -49,27 +58,8 @@ def build_problem(n=128, nc=8, nspokes=2048, nread=128, seed=0):
     return traj, img_shape, maps, rhs
 
 
-def main():
-    cpu = "--cpu" in sys.argv
-    small = "--small" in sys.argv
-    huge = "--huge" in sys.argv   # full config-3 size: 256^3
-    if cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    import jax
-
+def toeplitz_cached(traj, img_shape, n):
     from indigo_tpu.toeplitz import toeplitz_kernel
-
-    if small and huge:
-        sys.exit("--small and --huge are mutually exclusive")
-    n = 64 if small else (256 if huge else 128)
-    coil_chunk = 2 if huge else None
-    t0 = time.time()
-    # acquisition scales with the grid: ~16n spokes x n readout points
-    traj, img_shape, maps, rhs = build_problem(n=n, nspokes=16 * n, nread=n)
-    print(f"[bench] problem built in {time.time()-t0:.1f}s "
-          f"(n={n}, coils={maps.shape[0]}, samples={len(traj)})",
-          file=sys.stderr)
 
     t0 = time.time()
     cache = os.path.join(
@@ -80,14 +70,13 @@ def main():
     else:
         Tf = toeplitz_kernel(traj, img_shape, oversamp=1.25, width=4)
         np.save(cache, Tf)
-    print(f"[bench] toeplitz kernel ready in {time.time()-t0:.1f}s "
-          f"(2x grid {Tf.shape})", file=sys.stderr)
+    log(f"toeplitz kernel ready in {time.time()-t0:.1f}s "
+        f"(2x grid {Tf.shape})")
+    return Tf
 
-    # Timing notes for this environment: host<->device transfers ride a
-    # ~27MB/s tunnel and block_until_ready does not synchronize, so (a) all
-    # payloads are uploaded ONCE outside the timed region, (b) runs are
-    # timed by a forced scalar fetch, (c) per-iteration time is the
-    # difference between two iteration counts (cancels fetch latency).
+
+def run_config(n, cpu=False):
+    """Measure one (n^3, 8-coil) config; returns the metrics dict."""
     import jax
     import jax.numpy as jnp
     from indigo_tpu import cplx
@@ -95,6 +84,20 @@ def main():
     from indigo_tpu.ops.dft_fft import block_spectrum
     from indigo_tpu.ops.dft_pallas import pallas_spectrum, pallas_supported
     from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
+
+    coil_chunk = 2 if n >= 256 else None
+    t0 = time.time()
+    # acquisition scales with the grid: ~16n spokes x n readout points
+    traj, img_shape, maps, rhs = build_problem(n=n, nspokes=16 * n, nread=n)
+    log(f"problem built in {time.time()-t0:.1f}s "
+        f"(n={n}, coils={maps.shape[0]}, samples={len(traj)})")
+    Tf = toeplitz_cached(traj, img_shape, n)
+
+    # Timing notes for this environment: host<->device transfers ride a
+    # ~27MB/s tunnel and block_until_ready does not synchronize, so (a) all
+    # payloads are uploaded ONCE outside the timed region, (b) runs are
+    # timed by a forced scalar fetch, (c) per-iteration time is the
+    # difference between two iteration counts (cancels fetch latency).
 
     # spectrum pre-permuted host-side into the layout of the selected path:
     # fused Pallas kernels on TPU (supported volumes), matmul-DFT otherwise
@@ -104,7 +107,7 @@ def main():
     else:
         layout = "block"
         Tf_d = jax.device_put(jnp.asarray(block_spectrum(Tf)))
-    print(f"[bench] toeplitz path: {layout}", file=sys.stderr)
+    log(f"toeplitz path: {layout}")
     maps_d = jax.device_put(cplx.pack(maps))
     rhs_d = jax.device_put(cplx.pack(rhs))
 
@@ -170,8 +173,8 @@ def main():
     timed_a(a1)
     timed_a(a2)
     per_apply = max((timed_a(a2) - timed_a(a1)) / (k2 - k1), 1e-9)
-    print(f"[bench] normal-op applies/sec: {1.0/per_apply:.2f} "
-          f"({per_apply*1e3:.1f} ms/apply)", file=sys.stderr)
+    log(f"normal-op applies/sec: {1.0/per_apply:.2f} "
+        f"({per_apply*1e3:.1f} ms/apply)")
 
     # roofline estimate for one CG iteration (stderr only): minimum HBM
     # traffic of the selected path. Pallas (ops/dft_pallas.py): 3 fused
@@ -188,37 +191,87 @@ def main():
     bytes_per_iter = fft_bytes + other
     hbm = 819e9  # v5e HBM bandwidth
     sol = hbm / bytes_per_iter
-    print(f"[bench] device={jax.devices()[0].platform} first={t_first:.2f}s "
-          f"warm={t_warm:.3f}s iters/sec={ips:.2f} "
-          f"(speed-of-light ~{sol:.1f}/s at 819GB/s, "
-          f"{100*ips/sol:.0f}% of roofline)", file=sys.stderr)
+    log(f"device={jax.devices()[0].platform} first={t_first:.2f}s "
+        f"warm={t_warm:.3f}s iters/sec={ips:.2f} "
+        f"(speed-of-light ~{sol:.1f}/s at 819GB/s, "
+        f"{100*ips/sol:.0f}% of roofline)")
+    return {"ips": ips, "per_apply": per_apply, "roofline_frac": ips / sol}
+
+
+def run_sharded_256(iters=10):
+    """256^3 volume-sharded (tensor-parallel) over all visible devices."""
+    import jax
+    from jax.sharding import Mesh
+    from indigo_tpu.parallel.recon import sense_vol_recon
+
+    devs = np.array(jax.devices())
+    n = 256
+    traj, img_shape, maps, rhs = build_problem(n=n, nspokes=16 * n, nread=n)
+    Tf = toeplitz_cached(traj, img_shape, n)
+    mesh = Mesh(devs, ("vol",))
+    t0 = time.time()
+    x, resids = sense_vol_recon(Tf, maps, rhs.reshape(img_shape), mesh,
+                                lamda=1.0, iters=iters)
+    t_first = time.time() - t0
+    t0 = time.time()
+    x, resids = sense_vol_recon(Tf, maps, rhs.reshape(img_shape), mesh,
+                                lamda=1.0, iters=iters)
+    t_warm = time.time() - t0
+    ips = iters / t_warm
+    log(f"sharded 256^3 over {len(devs)} devices: first={t_first:.1f}s "
+        f"warm {ips:.2f} iters/sec")
+    return {"ips": ips}
+
+
+def emit(metric, value, vs=None, **extra):
+    rec = {"metric": metric, "value": round(value, 3), "unit": "iters/sec",
+           "vs_baseline": round(vs, 3) if vs else None}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    cpu = "--cpu" in sys.argv
+    small = "--small" in sys.argv
+    huge = "--huge" in sys.argv   # full config-3 size only: 256^3
+    sharded = "--sharded" in sys.argv
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    if small and huge:
+        sys.exit("--small and --huge are mutually exclusive")
 
     base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_cpu.json")
     if cpu:
+        r = run_config(128, cpu=True)
         with open(base_file, "w") as f:
             json.dump({"metric": "cg_iters_per_sec_3d_sense",
-                       "value": ips, "n": n}, f)
-        print(f"[bench] wrote CPU baseline {ips:.3f} iters/sec",
-              file=sys.stderr)
-        print(json.dumps({"metric": "cg_iters_per_sec_3d_sense_cpu",
-                          "value": round(ips, 3), "unit": "iters/sec",
-                          "vs_baseline": 1.0}))
+                       "value": r["ips"], "n": 128}, f)
+        log(f"wrote CPU baseline {r['ips']:.3f} iters/sec")
+        emit("cg_iters_per_sec_3d_sense_cpu", r["ips"], vs=1.0)
         return
 
-    vs = None
+    base = None
     if os.path.exists(base_file):
         with open(base_file) as f:
             base = json.load(f)
-        if base.get("n") == n and base.get("value"):
-            vs = ips / base["value"]
-    print(json.dumps({
-        "metric": f"cg_iters_per_sec_3d_sense_{n}c8",
-        "value": round(ips, 3),
-        "unit": "iters/sec",
-        "vs_baseline": round(vs, 3) if vs else None,
-        "normal_op_applies_per_sec": round(1.0 / per_apply, 3),
-    }))
+
+    if sharded and len(jax.devices()) > 1:
+        r = run_sharded_256()
+        emit("cg_iters_per_sec_3d_sense_256c8_sharded", r["ips"],
+             n_devices=len(jax.devices()))
+
+    configs = [64] if small else ([256] if huge else [256, 128])
+    for n in configs:
+        r = run_config(n)
+        vs = None
+        if base and base.get("n") == n and base.get("value"):
+            vs = r["ips"] / base["value"]
+        emit(f"cg_iters_per_sec_3d_sense_{n}c8", r["ips"], vs=vs,
+             normal_op_applies_per_sec=round(1.0 / r["per_apply"], 3))
 
 
 if __name__ == "__main__":

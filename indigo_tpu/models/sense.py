@@ -16,8 +16,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..operators import (
-    Operator, SpMatrix, Diag, UnscaledFFT, KronI, VStack, Scale, Product,
-    CropPad, Perm,
+    Operator, SpMatrix, KBInterp, Diag, UnscaledFFT, KronI, VStack, Scale,
+    Product, CropPad, Perm,
 )
 from .. import noncart
 from ..noncart import (
@@ -86,16 +86,24 @@ class NufftPlan:
 
 
 def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
-             col_tiling=False, deapod=True, name="NUFFT"):
+             col_tiling=False, deapod=True, interp="auto", name="NUFFT"):
     """Type-2 NUFFT operator A: image -> k-space samples.
 
-    A = G [. P] . Fc . Z . Da  with G the KB gridding CSR (as blocked-ELL
-    SpMatrix), P (col_tiling=True) an MXU-friendly Morton grid re-tiling
-    permutation (noncart.tiled_order) that packs each KB patch into few
-    128-lane blocks — pays off with the ragged-block Pallas SpMM, not the
-    jnp executor, hence opt-in — Fc the centered FFT on the oversampled
-    grid, Z centered zero-padding, Da the real deapodization diagonal.
-    Returns (A, plan).
+    A = G [. P] . Fc . Z . Da  with G the KB gridding interpolation, Fc the
+    centered FFT on the oversampled grid, Z centered zero-padding, Da the
+    real deapodization diagonal. Returns (A, plan).
+
+    ``interp`` selects the G leaf:
+      * 'sparse' — blocked-ELL/jag :class:`SpMatrix` (Pallas SpMM on TPU).
+        With ``col_tiling=True``, P is an MXU-friendly Morton grid re-tiling
+        permutation (noncart.tiled_order) packing each KB patch into few
+        128-lane blocks.
+      * 'tile' — :class:`KBInterp` tile-gather leaf (separable KB weights,
+        128-lane grid-tile gathers). The right choice whenever blocked
+        tiles would blow up — all 3D gridding matrices in practice.
+      * 'auto' — 'tile' exactly when SpMatrix would have fallen back to
+        element-level storage (the blocked-tile memory estimate exceeds
+        SpMatrix.MAX_TILE_BYTES).
 
     Semantics (see noncart module docstring):
         (A x)_i ~= sum_j x[j] exp(-2 pi i k_i . (j - N//2))
@@ -117,17 +125,32 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
         perm = np.arange(len(traj))
         traj_s = traj
 
-    Gcsr = interp_mat(traj_s, grid_shape, width=width, beta=beta)
     chain = []
-    if tile is not None:
-        cperm = tiled_order(grid_shape, tile)
-        inv = np.empty_like(cperm)
-        inv[cperm] = np.arange(len(cperm))
-        Gcsr = Gcsr.tocsr(copy=True)
-        Gcsr.indices = inv[Gcsr.indices].astype(Gcsr.indices.dtype)
-        Gcsr.has_sorted_indices = False
-        chain.append(Perm(cperm, name="GridTiling"))
-    G = SpMatrix(Gcsr, name="Gridding")
+    if interp == "auto":
+        import scipy.sparse as sp
+        from ..sparse import estimate_jag_bytes
+        # probe the blocked-tile footprint on a sample subset (it scales
+        # linearly in rows for fixed geometry)
+        probe = traj_s[:: max(1, len(traj_s) // 65536)]
+        Gp = interp_mat(probe, grid_shape, width=width, beta=beta)
+        scale = len(traj_s) / max(1, len(probe))
+        est = (estimate_jag_bytes(Gp) + estimate_jag_bytes(Gp.T)) * scale
+        interp = "tile" if est > SpMatrix.MAX_TILE_BYTES else "sparse"
+    if interp == "tile":
+        from ..ops.tile_interp import plan_tile_interp
+        G = KBInterp(plan_tile_interp(traj_s, grid_shape, width=width,
+                                      beta=beta), name="Gridding")
+    else:
+        Gcsr = interp_mat(traj_s, grid_shape, width=width, beta=beta)
+        if tile is not None:
+            cperm = tiled_order(grid_shape, tile)
+            inv = np.empty_like(cperm)
+            inv[cperm] = np.arange(len(cperm))
+            Gcsr = Gcsr.tocsr(copy=True)
+            Gcsr.indices = inv[Gcsr.indices].astype(Gcsr.indices.dtype)
+            Gcsr.has_sorted_indices = False
+            chain.append(Perm(cperm, name="GridTiling"))
+        G = SpMatrix(Gcsr, name="Gridding")
     Fc = centered_fft_op(grid_shape)
     Z = CropPad(img_shape, grid_shape, name="Zpad")
     da = deapodization(img_shape, grid_shape, width=width, beta=beta)

@@ -38,7 +38,8 @@ from .sparse import (
 
 __all__ = [
     "Operator",
-    "SpMatrix", "DenseMatrix", "Diag", "UnscaledFFT", "Eye", "One", "CropPad", "Perm",
+    "SpMatrix", "KBInterp", "DenseMatrix", "Diag", "UnscaledFFT", "Eye",
+    "One", "CropPad", "Perm",
     "Product", "Adjoint", "KronI", "BlockDiag", "VStack", "HStack", "Scale",
 ]
 
@@ -235,6 +236,59 @@ class SpMatrix(Operator):
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj._ell, obj._ellH = children
+        obj._name = aux[0]
+        return obj
+
+
+@register_pytree_node_class
+class KBInterp(Operator):
+    """Kaiser-Bessel gridding interpolation leaf (tile-gather execution).
+
+    The structured replacement for a gridding ``SpMatrix``: where blocked
+    tiles blow up (3D gridding sits at ~1% block fill), this leaf keeps the
+    KB kernel's separable per-axis weights and applies via 128-lane grid-tile
+    gathers (ops/tile_interp.py) — both directions stream at memcpy-class
+    rates instead of serializing per nonzero. Reference parity: the csrmm
+    apply of indigo/noncart.py's interp matrix (SURVEY.md §3.1 hot path).
+
+    Build with :func:`indigo_tpu.ops.tile_interp.plan_tile_interp`; weights
+    and geometry agree with :func:`noncart.interp_mat` to f32 rounding.
+    """
+
+    def __init__(self, plan, name=None):
+        self._plan = plan
+        self._name = name
+
+    @property
+    def plan(self):
+        return self._plan
+
+    @property
+    def shape(self):
+        N = int(np.prod(self._plan.grid_shape))
+        return (self._plan.n_samples, N)
+
+    @property
+    def dtype(self):
+        return np.float32
+
+    def apply(self, x, adjoint=False):
+        from .ops.tile_interp import tile_interp_apply
+        return tile_interp_apply(self._plan, x, adjoint=adjoint)
+
+    def _describe(self):
+        base = super()._describe()
+        p = self._plan
+        return (f"{base} width={p.width} S={p.S} "
+                f"payload={p.memusage() / 1e6:.0f}MB")
+
+    def tree_flatten(self):
+        return (self._plan,), (self._name,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj._plan,) = children
         obj._name = aux[0]
         return obj
 

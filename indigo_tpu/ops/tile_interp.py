@@ -1,0 +1,346 @@
+"""Tile-gather NUFFT interpolation: the TPU-native gridded apply.
+
+Reference parity: applying the KB gridding matrix (indigo csrmm on the CSR
+from indigo/noncart.py — unverified, mount empty; SURVEY.md §2/§3.1). The
+reference's CSR SpMM is a per-nonzero gather; on TPU, per-element gathers
+serialize (~4 ns per gathered ROW regardless of width — measured), so the
+TPU-native formulation makes every gathered row a full 128-lane grid tile:
+
+  * the oversampled grid is stored tiled: 128-node boxes (e.g. 4x4x8 for 3D),
+    plus a periodic halo so no patch ever wraps (``tile_grid``/``untile_grid``);
+  * each sample's Kaiser-Bessel patch lies inside a fixed super-tile of
+    neighboring boxes (2x2x2 for width<=5) whose tile ids are precomputed
+    host-side (``TileInterpPlan``);
+  * the KB weights are kept FACTORED per axis (width values scattered into
+    the super-tile extent by the patch offset) — the separable structure the
+    reference's CSR representation throws away. One apply is then:
+    gather super-tile rows -> three tiny batched contractions (forward), or
+    the mirrored broadcast + one scatter-add of tile rows (adjoint).
+
+Everything is jnp, so the same code runs on CPU (tests) and TPU; the gather
+and scatter stream at memcpy-class rates because rows are 128 wide.
+Measured on v5e at 128^3/8-coil scale: forward 104 -> ~9 ms, adjoint
+1563 -> ~18 ms (K=2) vs the element-format gather/segment paths.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TileInterpPlan", "plan_tile_interp", "tile_interp_apply",
+           "DEFAULT_TILE"]
+
+# 128-node tile shapes per rank (f32 lane width is 128).
+DEFAULT_TILE = {1: (128,), 2: (8, 16), 3: (4, 4, 8)}
+
+
+class TileInterpPlan:
+    """Host-built geometry for the tile-gather interpolation.
+
+    Arrays (all device-ready):
+      tid:  (M, S) int32 — tile ids of each sample's super-tile, S = prod(n_d)
+      wfac: list of d arrays (M, n_d, t_d) f32 — per-axis KB weights scattered
+            into super-tile-extent position (zero outside the patch)
+    Static geometry: grid_shape, tile, ext (halo-extended dims), nt (tiles
+    per axis), pad_lo (halo below), width.
+    """
+
+    def __init__(self, tid, wfac, grid_shape, tile, ext, nt, pad_lo, width):
+        self.tid = tid
+        self.wfac = tuple(wfac)
+        self.grid_shape = tuple(int(g) for g in grid_shape)
+        self.tile = tuple(int(t) for t in tile)
+        self.ext = tuple(int(e) for e in ext)
+        self.nt = tuple(int(n) for n in nt)
+        self.pad_lo = tuple(int(p) for p in pad_lo)
+        self.width = int(width)
+
+    @property
+    def n_samples(self):
+        return self.tid.shape[0]
+
+    @property
+    def S(self):
+        return self.tid.shape[1]
+
+    def memusage(self):
+        return (self.tid.nbytes
+                + sum(int(w.nbytes) for w in self.wfac))
+
+    def tree_flatten(self):
+        return ((self.tid,) + self.wfac,
+                (self.grid_shape, self.tile, self.ext, self.nt,
+                 self.pad_lo, self.width))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.tid = children[0]
+        obj.wfac = tuple(children[1:])
+        (obj.grid_shape, obj.tile, obj.ext, obj.nt, obj.pad_lo,
+         obj.width) = aux
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    TileInterpPlan,
+    lambda p: p.tree_flatten(),
+    TileInterpPlan.tree_unflatten)
+
+
+def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None):
+    """Build a :class:`TileInterpPlan` (host-side, vectorized numpy).
+
+    Same geometry/weight conventions as :func:`indigo_tpu.noncart.interp_mat`
+    (centered oversampled grid, periodic wraparound, KB weights at offsets
+    ``c - (base+j)``) — the two agree to f32 rounding; tests check exactness
+    against the CSR on the same trajectory.
+    """
+    from ..noncart import kaiser_bessel, beatty_beta
+
+    traj = np.atleast_2d(np.asarray(traj, dtype=np.float64))
+    M, nd = traj.shape
+    G = tuple(int(g) for g in grid_shape)
+    assert len(G) == nd, (G, nd)
+    if beta is None:
+        beta = beatty_beta(width, 2.0)
+    if tile is None:
+        tile = DEFAULT_TILE[nd]
+    tile = tuple(int(t) for t in tile)
+    assert int(np.prod(tile)) == 128, tile
+
+    pad_lo, ext, nt, nsup = [], [], [], []
+    tblk, wfac = [], []
+    for d in range(nd):
+        t = tile[d]
+        c = (traj[:, d] + 0.5) * G[d]
+        base = np.ceil(c - width / 2.0).astype(np.int64)
+        offs = np.arange(width)
+        w_d = kaiser_bessel(c[:, None] - (base[:, None] + offs[None, :]),
+                            width, beta).astype(np.float32)
+        lo = int(max(0, -base.min()))
+        basep = base + lo
+        hi_need = int(basep.max()) + width      # one past last touched node
+        # super-tile tile count along this axis (worst-case base % t)
+        n_d = (t - 1 + width - 1) // t + 1
+        ntd = -(-hi_need // t)
+        ntd = max(ntd, (int(basep.max()) // t) + n_d)  # super-tile in range
+        e = ntd * t
+        tb = basep // t                          # first tile of super-tile
+        off_in = basep - tb * t                  # patch offset inside it
+        # scatter the width weights into the super-tile extent n_d*t
+        wf = np.zeros((M, n_d * t), dtype=np.float32)
+        np.put_along_axis(
+            wf, off_in[:, None] + offs[None, :], w_d, axis=1)
+        pad_lo.append(lo)
+        ext.append(e)
+        nt.append(ntd)
+        nsup.append(n_d)
+        tblk.append(tb)
+        wfac.append(wf.reshape(M, n_d, t))
+
+    # linear tile ids of the super-tile corner offsets (static pattern)
+    corner = np.zeros(M, dtype=np.int64)
+    for d in range(nd):
+        corner = corner * nt[d] + tblk[d]
+    # offsets of the S = prod(nsup) super-tile members
+    grids = np.indices(tuple(nsup)).reshape(nd, -1)       # (d, S)
+    step = np.ones(nd, dtype=np.int64)
+    for d in range(nd - 2, -1, -1):
+        step[d] = step[d + 1] * nt[d + 1]
+    soff = (grids * step[:, None]).sum(axis=0)            # (S,)
+    tid = corner[:, None] + soff[None, :]                 # (M, S)
+
+    return TileInterpPlan(
+        tid=jnp.asarray(tid.astype(np.int32)),
+        wfac=[jnp.asarray(w) for w in wfac],
+        grid_shape=G, tile=tile, ext=tuple(ext), nt=tuple(nt),
+        pad_lo=tuple(pad_lo), width=width)
+
+
+def tile_grid(plan, x):
+    """(N, K) grid vector -> (NT, K*128) tiled layout with periodic halo.
+
+    Lane-major within-tile order (lane = within-tile node, K above it) keeps
+    every downstream array's minor dim at 128 — TPU pads the minor dim to
+    128 lanes, so small trailing dims would blow memory 16-64x.
+    """
+    G, E, T, lo = plan.grid_shape, plan.ext, plan.tile, plan.pad_lo
+    nd = len(G)
+    K = x.shape[1]
+    xe = x.reshape(*G, K)
+    pads = [(lo[d], E[d] - G[d] - lo[d]) for d in range(nd)] + [(0, 0)]
+    xe = jnp.pad(xe, pads, mode="wrap")
+    # split each axis into (tiles, within); order (tiles..., K, withins...)
+    split = []
+    for d in range(nd):
+        split.extend([plan.nt[d], T[d]])
+    xe = xe.reshape(*split, K)
+    perm = (list(range(0, 2 * nd, 2)) + [2 * nd]
+            + list(range(1, 2 * nd, 2)))
+    xe = xe.transpose(perm)
+    NT = int(np.prod(plan.nt))
+    return xe.reshape(NT, K * 128)
+
+
+def untile_grid(plan, xt, K):
+    """Adjoint of :func:`tile_grid`: (NT, K*128) -> (N, K), halo folded back
+    periodically (the transpose of pad-wrap is overlap-add)."""
+    G, E, T, lo = plan.grid_shape, plan.ext, plan.tile, plan.pad_lo
+    nd = len(G)
+    split = list(plan.nt) + [K] + list(T)
+    xe = xt.reshape(*split)
+    inv = []
+    for d in range(nd):
+        inv.extend([d, nd + 1 + d])
+    inv.append(nd)
+    xe = xe.transpose(inv).reshape(*E, K)
+    # fold halos: index e maps to (e - lo) mod G; ext < 2G so at most one
+    # wrap on each side
+    for d in range(nd):
+        g, l = G[d], lo[d]
+        core = jax.lax.slice_in_dim(xe, l, l + g, axis=d)
+        if l:
+            head = jax.lax.slice_in_dim(xe, 0, l, axis=d)
+            pad = [(0, 0)] * core.ndim
+            pad[d] = (g - l, 0)
+            core = core + jnp.pad(head, pad)
+        hi = E[d] - g - l
+        if hi:
+            tail = jax.lax.slice_in_dim(xe, l + g, E[d], axis=d)
+            pad = [(0, 0)] * core.ndim
+            pad[d] = (0, g - hi)
+            core = core + jnp.pad(tail, pad)
+        xe = core
+    N = int(np.prod(G))
+    return xe.reshape(N, K)
+
+
+def _lane_weights(plan, wfac):
+    """Combine per-axis factors into W (m, S, 128) — all ops 128-lane-wide.
+
+    wfac[d] is (m, n_d, t_d); each factor is expanded to the within-tile
+    lane order (repeat over trailing axes' extents, tile over leading) and
+    the product is broadcast over the super-tile axes.
+    """
+    nd = len(plan.tile)
+    T = plan.tile
+    m = wfac[0].shape[0]
+    nsup = [w.shape[1] for w in wfac]
+    W = None
+    for d in range(nd):
+        after = int(np.prod(T[d + 1:])) if d + 1 < nd else 1
+        before = int(np.prod(T[:d])) if d else 1
+        wL = wfac[d]
+        if after > 1:
+            wL = jnp.repeat(wL, after, axis=-1)
+        if before > 1:
+            wL = jnp.tile(wL, (1, 1, before))
+        shape = (m,) + (1,) * d + (nsup[d],) + (1,) * (nd - 1 - d) + (128,)
+        wL = wL.reshape(shape)
+        W = wL if W is None else W * wL
+    return W.reshape(m, int(np.prod(nsup)), 128)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "chunk"))
+def _forward(plan, xt, K, chunk):
+    """y (M, K) from tiled grid xt (NT, K*128)."""
+    S = plan.S
+
+    def one_chunk(args):
+        tid, wfac = args
+        m = tid.shape[0]
+        g = xt[tid.reshape(-1)].reshape(m, S, K, 128)
+        W = _lane_weights(plan, wfac)              # (m, S, 128)
+        r = jnp.sum(g * W[:, :, None, :], axis=1)  # (m, K, 128)
+        return jnp.sum(r, axis=-1)                 # (m, K)
+
+    return _map_chunks(one_chunk, plan, K, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "NT", "chunk"))
+def _adjoint(plan, y, K, NT, chunk):
+    """Tiled grid (NT, K*128) from samples y (M, K) (conj weights are the
+    weights: KB factors are real)."""
+    S = plan.S
+
+    def one_chunk(carry, args):
+        tid, wfac, yc = args
+        m = yc.shape[0]
+        W = _lane_weights(plan, wfac)              # (m, S, 128)
+        contrib = yc[:, None, :, None] * W[:, :, None, :]
+        contrib = contrib.reshape(m * S, K * 128)
+        return carry.at[tid.reshape(-1)].add(contrib), None
+
+    zero = jnp.zeros((NT, K * 128), jnp.float32)
+    return _scan_chunks(one_chunk, zero, plan, y, chunk)
+
+
+def _chunked(plan, chunk, y=None):
+    M = plan.n_samples
+    chunk = min(chunk, M)
+    nchunk = -(-M // chunk)
+    Mp = nchunk * chunk
+
+    def padm(a):
+        if a.shape[0] == Mp:
+            return a
+        pad = [(0, Mp - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad)
+
+    tid = padm(plan.tid).reshape(nchunk, chunk, plan.S)
+    wfac = [padm(w).reshape(nchunk, chunk, *w.shape[1:]) for w in plan.wfac]
+    if y is None:
+        return nchunk, (tid, wfac)
+    return nchunk, (tid, wfac, padm(y).reshape(nchunk, chunk, -1))
+
+
+def _map_chunks(fn, plan, K, chunk):
+    M = plan.n_samples
+    nchunk, args = _chunked(plan, chunk)
+    if nchunk == 1:
+        return fn(jax.tree_util.tree_map(lambda a: a[0], args))[:M]
+    out = jax.lax.map(fn, args)
+    return out.reshape(-1, K)[:M]
+
+
+def _scan_chunks(fn, init, plan, y, chunk):
+    nchunk, args = _chunked(plan, chunk, y=y)
+    if nchunk == 1:
+        out, _ = fn(init, jax.tree_util.tree_map(lambda a: a[0], args))
+        return out
+    out, _ = jax.lax.scan(fn, init, args)
+    return out
+
+
+def tile_interp_apply(plan, x, adjoint=False, chunk=None):
+    """Apply the gridding interpolation G (or its adjoint) via tile gathers.
+
+    Forward: x (N, K) grid -> (M, K) samples. Adjoint: x (M, K) samples ->
+    (N, K) grid. Complex inputs fold re/im into the K axis (the KB matrix is
+    real), exactly like ops.spmm. ``chunk`` bounds the materialized gather
+    to chunk*S*K*128 floats (default: ~256 MB of gather scratch).
+    """
+    N = int(np.prod(plan.grid_shape))
+    M = plan.n_samples
+    if jnp.iscomplexobj(x):
+        K = x.shape[1]
+        xr = jnp.concatenate([x.real, x.imag], axis=1).astype(jnp.float32)
+        yr = tile_interp_apply(plan, xr, adjoint=adjoint, chunk=chunk)
+        return jax.lax.complex(yr[:, :K], yr[:, K:])
+    x = x.astype(jnp.float32)
+    K = x.shape[1]
+    if chunk is None:
+        chunk = max(1024, (1 << 28) // (plan.S * K * 512))
+    if adjoint:
+        assert x.shape[0] == M, (x.shape, M)
+        NT = int(np.prod(plan.nt))
+        xt = _adjoint(plan, x, K, NT, chunk)
+        return untile_grid(plan, xt, K)
+    assert x.shape[0] == N, (x.shape, N)
+    xt = tile_grid(plan, x)
+    return _forward(plan, xt, K, chunk)

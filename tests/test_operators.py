@@ -62,6 +62,17 @@ def test_one(rng):
     check_against(it.One((M, N)), np.ones((M, N), dtype=np.complex64), rng)
 
 
+def test_perm(rng):
+    n = 64
+    perm = rng.permutation(n)
+    dense = np.eye(n, dtype=np.complex64)[perm]
+    check_against(it.Perm(perm), dense, rng)
+    # P^H P = I (orthogonal)
+    op = it.Perm(perm)
+    x = rand64c(n, 2, rng=rng)
+    assert rel_err(np.asarray(op.H * (op * x)), x) < 1e-6
+
+
 @pytest.mark.parametrize("vol", [(16,), (8, 12), (4, 6, 8)])
 def test_unscaled_fft(vol, rng):
     op = it.UnscaledFFT(vol)

@@ -93,3 +93,15 @@ def test_psd_clip_and_warning(rng, capsys):
     x = rand64c(256, 1, rng=rng)
     q = np.vdot(x, np.asarray(K * x)).real
     assert q >= -1e-3 * abs(q)
+
+
+def test_device_kernel_matches_host(rng):
+    """impl='device' (tile-gather adjoint + on-device FFTs) == impl='host'
+    (frozen numpy/scipy spec) to f32 rounding."""
+    traj = random_traj(300, 3, rng)
+    w = rng.random(300).astype(np.float32)
+    Th = toeplitz_kernel(traj, (12, 12, 16), oversamp=1.25, width=4,
+                         weights=w, impl="host", warn=False)
+    Td = toeplitz_kernel(traj, (12, 12, 16), oversamp=1.25, width=4,
+                         weights=w, impl="device", warn=False)
+    assert rel_err(Td, Th) < 1e-5
