@@ -85,7 +85,7 @@ def run_config(n, cpu=False):
     from indigo_tpu.ops.dft_pallas import pallas_spectrum, pallas_supported
     from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
 
-    coil_chunk = 2 if n >= 256 else None
+    coil_chunk = 4 if n >= 256 else None
     t0 = time.time()
     # acquisition scales with the grid: ~16n spokes x n readout points
     traj, img_shape, maps, rhs = build_problem(n=n, nspokes=16 * n, nread=n)

@@ -196,13 +196,14 @@ _TILE = 8  # Mosaic: a block's second-to-last dim must be divisible by 8
 
 def pallas_supported(shape) -> bool:
     """True when the fused-kernel tiling fits this volume: every image dim
-    a multiple of 8 and <= 128 (VMEM: kernel A's output block is
-    2 * (2n2 * 2n1) * 4 bytes per x element; 8 * 2MB at 128^3 with x2
-    pipeline buffering fills the v5e budget; 256-class volumes take the
-    jnp matmul-DFT path until a Y-tiled variant lands)."""
+    a multiple of 8 and <= 256. VMEM check at 256^3 (v5e budget 100MB set
+    below): kernel A holds 2 in-blocks (8,256,256), 2 out-blocks
+    (512,8,512) and the packs — ~45MB double-buffered; kernels B/C are
+    similar. Larger volumes take the jnp matmul-DFT path (or the
+    volume-sharded multi-chip recon)."""
     if len(shape) != 3:
         return False
-    return all(s % 8 == 0 and 8 <= s <= 128 for s in shape)
+    return all(s % 8 == 0 and 8 <= s <= 256 for s in shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

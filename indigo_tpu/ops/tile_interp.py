@@ -162,6 +162,24 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None):
         pad_lo=tuple(pad_lo), width=width)
 
 
+# above this many elements, run the (un)tiling transpose in z-slab chunks:
+# XLA can materialize the 6D transpose with sub-128 minor dims (16x layout
+# padding), which at 640^3-class grids would exceed HBM outright
+_TILE_SLAB_ELEMS = 1 << 27
+
+
+def _retile(xe, nt, T, K, nd):
+    """(E..., K) -> (NT, K*128): split axes, withins last, flatten."""
+    split = []
+    for d in range(nd):
+        split.extend([nt[d], T[d]])
+    xe = xe.reshape(*split, K)
+    perm = (list(range(0, 2 * nd, 2)) + [2 * nd]
+            + list(range(1, 2 * nd, 2)))
+    xe = xe.transpose(perm)
+    return xe.reshape(-1, K * 128)
+
+
 def tile_grid(plan, x):
     """(N, K) grid vector -> (NT, K*128) tiled layout with periodic halo.
 
@@ -175,16 +193,24 @@ def tile_grid(plan, x):
     xe = x.reshape(*G, K)
     pads = [(lo[d], E[d] - G[d] - lo[d]) for d in range(nd)] + [(0, 0)]
     xe = jnp.pad(xe, pads, mode="wrap")
-    # split each axis into (tiles, within); order (tiles..., K, withins...)
-    split = []
+    if xe.size <= _TILE_SLAB_ELEMS or nd == 1:
+        return _retile(xe, plan.nt, T, K, nd)
+    # big volume: map over leading-axis tile rows to bound the transpose
+    xe = xe.reshape((plan.nt[0], T[0]) + E[1:] + (K,))
+    out = jax.lax.map(
+        lambda s: _retile(s, (1,) + plan.nt[1:], T, K, nd), xe)
+    return out.reshape(-1, K * 128)
+
+
+def _unretile(xt, nt, T, K, nd, E):
+    """(NT, K*128) -> (E..., K): inverse of :func:`_retile`."""
+    split = list(nt) + [K] + list(T)
+    xe = xt.reshape(*split)
+    inv = []
     for d in range(nd):
-        split.extend([plan.nt[d], T[d]])
-    xe = xe.reshape(*split, K)
-    perm = (list(range(0, 2 * nd, 2)) + [2 * nd]
-            + list(range(1, 2 * nd, 2)))
-    xe = xe.transpose(perm)
-    NT = int(np.prod(plan.nt))
-    return xe.reshape(NT, K * 128)
+        inv.extend([d, nd + 1 + d])
+    inv.append(nd)
+    return xe.transpose(inv).reshape(*E, K)
 
 
 def untile_grid(plan, xt, K):
@@ -192,13 +218,15 @@ def untile_grid(plan, xt, K):
     periodically (the transpose of pad-wrap is overlap-add)."""
     G, E, T, lo = plan.grid_shape, plan.ext, plan.tile, plan.pad_lo
     nd = len(G)
-    split = list(plan.nt) + [K] + list(T)
-    xe = xt.reshape(*split)
-    inv = []
-    for d in range(nd):
-        inv.extend([d, nd + 1 + d])
-    inv.append(nd)
-    xe = xe.transpose(inv).reshape(*E, K)
+    if xt.size <= _TILE_SLAB_ELEMS or nd == 1:
+        xe = _unretile(xt, plan.nt, T, K, nd, E)
+    else:
+        rows = int(np.prod(plan.nt[1:]))
+        xts = xt.reshape(plan.nt[0], rows, K * 128)
+        xe = jax.lax.map(
+            lambda s: _unretile(s, (1,) + plan.nt[1:], T, K, nd,
+                                (T[0],) + E[1:]), xts)
+        xe = xe.reshape(*E, K)
     # fold halos: index e maps to (e - lo) mod G; ext < 2G so at most one
     # wrap on each side
     for d in range(nd):

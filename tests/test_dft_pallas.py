@@ -42,7 +42,8 @@ def test_identity_kernel_roundtrip(rng):
 def test_supported_predicate():
     assert pallas_supported((128, 128, 128))
     assert pallas_supported((8, 16, 128))
-    assert not pallas_supported((256, 256, 256))   # VMEM-gated
+    assert pallas_supported((256, 256, 256))       # fits 100MB VMEM budget
+    assert not pallas_supported((512, 512, 512))   # VMEM-gated
     assert not pallas_supported((12, 16, 16))      # not multiple of 8
     assert not pallas_supported((16, 16))          # 2D
 
