@@ -75,6 +75,20 @@ def toeplitz_cached(traj, img_shape, n):
     return Tf
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: the 256^3 fused kernels take
+    ~10 min to compile fresh; cached reruns skip it entirely."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # pragma: no cover
+        log(f"compilation cache unavailable: {e}")
+
+
 def run_config(n, cpu=False):
     """Measure one (n^3, 8-coil) config; returns the metrics dict."""
     import jax
@@ -155,10 +169,19 @@ def run_config(n, cpu=False):
     t_w1, nrm = timed(s1)
     t_w2, _ = timed(s2)
     t_first = time.time() - t0
-    t_a1, _ = timed(s1)
-    t_a2, nrm = timed(s2)
+    # tunnel fetch latency is high-variance: take the best of 3 difference
+    # pairs (min is the robust estimator for timing noise, which is
+    # strictly additive)
+    diffs = []
+    for _ in range(3):
+        t_a1, _ = timed(s1)
+        t_a2, nrm = timed(s2)
+        diffs.append(t_a2 - t_a1)
     assert np.isfinite(nrm), "non-finite reconstruction"
-    per_iter = max((t_a2 - t_a1) / (k2 - k1), 1e-9)
+    best = min(diffs)
+    if best <= 0:  # fetch-latency noise dominates (tiny problems)
+        best = float(np.median(diffs))
+    per_iter = max(best / (k2 - k1), 1e-9)
     t_warm = per_iter * k2
     ips = 1.0 / per_iter
 
@@ -172,22 +195,35 @@ def run_config(n, cpu=False):
 
     timed_a(a1)
     timed_a(a2)
-    per_apply = max((timed_a(a2) - timed_a(a1)) / (k2 - k1), 1e-9)
+    adiffs = []
+    for _ in range(3):
+        u1 = timed_a(a1)
+        u2 = timed_a(a2)
+        adiffs.append(u2 - u1)
+    besta = min(adiffs)
+    if besta <= 0:
+        besta = float(np.median(adiffs))
+    per_apply = max(besta / (k2 - k1), per_iter / 4)
     log(f"normal-op applies/sec: {1.0/per_apply:.2f} "
         f"({per_apply*1e3:.1f} ms/apply)")
 
     # roofline estimate for one CG iteration (stderr only): minimum HBM
-    # traffic of the selected path. Pallas (ops/dft_pallas.py): 3 fused
-    # kernels moving 1+4 | 4+4 | 4+1 volumes + entry transpose + spectrum.
-    # jnp matmul-DFT (ops/dft_fft.py): per axis read V write 2V growing
-    # 1->8V forward and mirrored back, kernel multiply fused.
+    # traffic of the selected path. Pallas (ops/dft_pallas.py
+    # sense_normal_pallas): per coil-volume, kernel A reads the map +
+    # writes 4V; B reads 4V + spectrum, writes 4V; C reads 4V + the map,
+    # accumulates 1/nc V — 18V, coil multiply/combine fused in. The
+    # spectrum is re-read once per coil chunk. jnp matmul-DFT
+    # (ops/dft_fft.py): per axis read V write 2V growing 1->8V forward and
+    # mirrored back, kernel multiply fused, coil ops in XLA.
     nc = maps.shape[0]
+    nchunks = max(1, nc // coil_chunk) if coil_chunk else 1
     big = int(np.prod(Tf.shape))
     npx = int(np.prod(img_shape))
     cplx_b = 8
-    vols = 20 if layout == "pallas" else 42
-    fft_bytes = vols * npx * nc * cplx_b + big * 4
-    other = (4 * npx * nc + 6 * npx) * cplx_b
+    vols = 18 if layout == "pallas" else 42
+    fft_bytes = vols * npx * nc * cplx_b + big * 4 * nchunks
+    other = ((0 if layout == "pallas" else 4 * npx * nc)
+             + 6 * npx) * cplx_b
     bytes_per_iter = fft_bytes + other
     hbm = 819e9  # v5e HBM bandwidth
     sol = hbm / bytes_per_iter
@@ -240,6 +276,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    enable_compile_cache()
     if small and huge:
         sys.exit("--small and --huge are mutually exclusive")
 

@@ -86,7 +86,7 @@ class NufftPlan:
 
 
 def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
-             col_tiling=False, deapod=True, interp="auto", name="NUFFT"):
+             col_tiling=None, deapod=True, interp="auto", name="NUFFT"):
     """Type-2 NUFFT operator A: image -> k-space samples.
 
     A = G [. P] . Fc . Z . Da  with G the KB gridding interpolation, Fc the
@@ -95,9 +95,10 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
 
     ``interp`` selects the G leaf:
       * 'sparse' — blocked-ELL/jag :class:`SpMatrix` (Pallas SpMM on TPU).
-        With ``col_tiling=True``, P is an MXU-friendly Morton grid re-tiling
-        permutation (noncart.tiled_order) packing each KB patch into few
-        128-lane blocks.
+        With ``col_tiling`` (default on when the grid is tileable), P is an
+        MXU-friendly Morton grid re-tiling permutation (noncart.tiled_order)
+        packing each KB patch into few 128-lane blocks — measured ~1.3x on
+        the 2D radial jag Pallas applies (fill 0.030 -> 0.041).
       * 'tile' — :class:`KBInterp` tile-gather leaf (separable KB weights,
         128-lane grid-tile gathers). The right choice whenever blocked
         tiles would blow up — all 3D gridding matrices in practice.
@@ -114,6 +115,8 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
     if beta is None:
         beta = beatty_beta(width, oversamp)
 
+    if col_tiling is None:   # default: on for the sparse leaf (measured win)
+        col_tiling = interp != "tile"
     tile = DEFAULT_TILES.get(len(img_shape)) if col_tiling else None
     if tile is not None and any(g % t for g, t in zip(grid_shape, tile)):
         tile = None  # grid not tileable; fall back to row-major columns

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dft_fft import dft_pad2x_mats, block_spectrum
 
-__all__ = ["pallas_spectrum", "toeplitz_apply_pallas", "pallas_supported"]
+__all__ = ["pallas_spectrum", "toeplitz_apply_pallas",
+           "sense_normal_pallas", "pallas_supported"]
 
 
 def pallas_spectrum(Tf: np.ndarray) -> np.ndarray:
@@ -191,6 +192,57 @@ def _kernel_C(ur, ui, p5, p6, our, oui):
     lax.fori_loop(0, zt, body, 0, unroll=True)
 
 
+def _kernel_A_fused(vr, vi, mr, mi, p1, p2, our, oui):
+    """coil-map multiply + fwd stage z + fwd stage y for an x-tile.
+
+    Same as _kernel_A but the input slab is the IMAGE (revisited across the
+    coil grid dim — read once per x-tile, not once per coil) and the coil
+    map multiply happens in VMEM, so the (S*nc)-volume u = m*v intermediate
+    never exists in HBM.
+    """
+    xt = vr.shape[1]
+    q1 = p1[...]
+    q2 = p2[...]
+
+    def body(j, _):
+        ur = vr[0, j] * mr[0, j] - vi[0, j] * mi[0, j]
+        ui = vr[0, j] * mi[0, j] + vi[0, j] * mr[0, j]
+        a1r, a1i = _cmm(ur, ui, q1, _DN_T, const_lhs=False)
+        a2r, a2i = _cmm(a1r, a1i, q2, _DN, const_lhs=True)
+        our[0, :, j, :] = a2r
+        oui[0, :, j, :] = a2i
+        return 0
+
+    lax.fori_loop(0, xt, body, 0, unroll=True)
+
+
+def _kernel_C_fused(ur, ui, mr, mi, p5, p6, our, oui):
+    """inv stage Y + inv stage X + conj(map) multiply-accumulate.
+
+    The coil grid dim iterates fastest; the output block (indexed by slice
+    and z-tile only) stays VMEM-resident across coils, zeroed on the first
+    coil — the coil-combine sum never materializes per-coil volumes in HBM.
+    """
+    c = pl.program_id(2)
+    zt = ur.shape[1]
+    q5 = p5[...]
+    q6 = p6[...]
+
+    @pl.when(c == 0)
+    def _():
+        our[...] = jnp.zeros_like(our)
+        oui[...] = jnp.zeros_like(oui)
+
+    def body(j, _):
+        t1r, t1i = _cmm(ur[0, j], ui[0, j], q5, _DN, const_lhs=True)
+        cr, ci = _cmm(t1r, t1i, q6, _DN, const_lhs=False)
+        our[0, j] += mr[0, j] * cr + mi[0, j] * ci    # conj(m) * res
+        oui[0, j] += mr[0, j] * ci - mi[0, j] * cr
+        return 0
+
+    lax.fori_loop(0, zt, body, 0, unroll=True)
+
+
 _TILE = 8  # Mosaic: a block's second-to-last dim must be divisible by 8
 
 
@@ -204,6 +256,127 @@ def pallas_supported(shape) -> bool:
     if len(shape) != 3:
         return False
     return all(s % 8 == 0 and 8 <= s <= 256 for s in shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sense_normal_pallas(Tfp, maps, v, interpret=False):
+    """Full SENSE Toeplitz normal op, coil handling fused into the kernels:
+
+        out_s = sum_c conj(m_c) * crop(IFFT(Tf * FFT(pad_2x(m_c * v_s))))
+
+    v:    (S, n1, n2, n3) complex64 slice images
+    maps: (nc, n1, n2, n3) complex64 coil maps
+    Tfp:  (2n2, 2n1, 2n3) float32 — ``pallas_spectrum`` layout.
+    Returns (S, n1, n2, n3) complex64.
+
+    vs the unfused path (XLA multiply -> toeplitz_apply_pallas -> XLA
+    conj-combine): the (S*nc)-volume u intermediate, its entry transpose
+    and the per-coil combine read never touch HBM — ~25% less traffic per
+    CG iteration. The map transposes depend only on loop constants, so XLA
+    hoists them out of solver loops.
+    """
+    S, n1, n2, n3 = v.shape
+    nc = maps.shape[0]
+    assert maps.shape[1:] == (n1, n2, n3), (maps.shape, v.shape)
+    assert pallas_supported((n1, n2, n3)), (n1, n2, n3)
+    xt = yt = zt = _TILE
+    B = S * nc
+
+    Mf1, Mi1 = dft_pad2x_mats(n1)
+    Mf2, Mi2 = dft_pad2x_mats(n2)
+    Mf3, Mi3 = dft_pad2x_mats(n3)
+    p1 = _pack(Mf1.T)
+    p2 = _pack(Mf2)
+    p3 = _pack(Mf3.T)
+    p4 = _pack(Mi1)
+    p5 = _pack(Mi2)
+    p6 = _pack(Mi3.T)
+
+    # entry transposes to x-major (image per-call; maps hoisted by XLA LICM)
+    vt = jnp.transpose(v, (0, 3, 1, 2))
+    vr, vi = jnp.real(vt), jnp.imag(vt)
+    mt = jnp.transpose(maps, (0, 3, 1, 2))
+    mxr, mxi = jnp.real(mt), jnp.imag(mt)
+    mnr, mni = jnp.real(maps), jnp.imag(maps)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    # ---- kernel A (fused): image x-tile revisited across coils ----------
+    a_out = [jax.ShapeDtypeStruct((B, 2 * n2, n3, 2 * n1), jnp.float32)] * 2
+    ar, ai = pl.pallas_call(
+        _kernel_A_fused,
+        grid=(S, n3 // xt, nc),
+        in_specs=[
+            pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (s, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (s, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (c, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (c, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(p1), full(p2),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2 * n2, xt, 2 * n1),
+                         lambda s, t, c: (s * nc + c, 0, t, 0),
+                         memory_space=pltpu.VMEM)] * 2,
+        out_shape=a_out,
+        compiler_params=cparams,
+        interpret=interpret,
+    )(vr, vi, mxr, mxi, p1, p2)
+
+    # ---- kernel B: unchanged (per-coil-volume independent) --------------
+    b_out = [jax.ShapeDtypeStruct((B, n1, 2 * n2, 2 * n3), jnp.float32)] * 2
+    br, bi = pl.pallas_call(
+        _kernel_B,
+        grid=(2 * n2 // yt, B),
+        in_specs=[
+            pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((yt, 2 * n1, 2 * n3), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(p3), full(p4),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n1, yt, 2 * n3), lambda t, b: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM)] * 2,
+        out_shape=b_out,
+        compiler_params=cparams,
+        interpret=interpret,
+    )(ar, ai, Tfp, p3, p4)
+
+    # ---- kernel C (fused): coil fastest; output accumulates in VMEM -----
+    c_out = [jax.ShapeDtypeStruct((S, n1, n2, n3), jnp.float32)] * 2
+    cr, ci = pl.pallas_call(
+        _kernel_C_fused,
+        grid=(S, n1 // zt, nc),
+        in_specs=[
+            pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
+                         lambda s, t, c: (s * nc + c, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
+                         lambda s, t, c: (s * nc + c, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, zt, n2, n3), lambda s, t, c: (c, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, zt, n2, n3), lambda s, t, c: (c, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(p5), full(p6),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, zt, n2, n3), lambda s, t, c: (s, t, 0, 0),
+                         memory_space=pltpu.VMEM)] * 2,
+        out_shape=c_out,
+        compiler_params=cparams,
+        interpret=interpret,
+    )(br, bi, mnr, mni, p5, p6)
+
+    return lax.complex(cr, ci)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -48,7 +48,7 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
     """
     import jax as _jax
     from ..ops.dft_fft import toeplitz_apply_block, block_perm
-    from ..ops.dft_pallas import toeplitz_apply_pallas
+    from ..ops.dft_pallas import sense_normal_pallas
     from ..ops.toeplitz_fft import fft_pad2x, ifft_crop2x
 
     img_shape = maps.shape[1:]
@@ -64,14 +64,15 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
 
     def chunk_contrib(m):
         # m: (cc, *img) -> sum_c conj(m_c) * Toep(m_c * v) : (S, *img)
+        if layout == "pallas":
+            # coil multiply + combine fused INTO kernels A/C: the u = m*v
+            # intermediate and the per-coil combine never touch HBM
+            return sense_normal_pallas(
+                Tf, m, v.astype(jnp.complex64),
+                interpret=_jax.default_backend() == "cpu")
         u = m[None] * v[:, None]
         cc = m.shape[0]
-        if layout == "pallas":
-            u = toeplitz_apply_pallas(
-                Tf, u.reshape((S * cc,) + img_shape),
-                interpret=_jax.default_backend() == "cpu",
-            ).reshape((S, cc) + img_shape)
-        elif layout == "block":
+        if layout == "block":
             u = toeplitz_apply_block(
                 Tf, u.reshape((S * cc,) + img_shape)
             ).reshape((S, cc) + img_shape)
