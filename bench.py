@@ -96,10 +96,16 @@ def run_config(n, cpu=False):
     from indigo_tpu import cplx
     from indigo_tpu.ops import use_pallas
     from indigo_tpu.ops.dft_fft import block_spectrum
-    from indigo_tpu.ops.dft_pallas import pallas_spectrum, pallas_supported
+    from indigo_tpu.ops.dft_pallas import (
+        pallas_spectrum, pallas_supported, uses_sigma_basis,
+        to_sigma_basis)
     from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
 
-    coil_chunk = 4 if n >= 256 else None
+    cc_env = os.environ.get("BENCH_COIL_CHUNK")
+    if cc_env is not None:
+        coil_chunk = int(cc_env) or None
+    else:
+        coil_chunk = 4 if n >= 256 else None
     t0 = time.time()
     # acquisition scales with the grid: ~16n spokes x n readout points
     traj, img_shape, maps, rhs = build_problem(n=n, nspokes=16 * n, nread=n)
@@ -125,15 +131,28 @@ def run_config(n, cpu=False):
     maps_d = jax.device_put(cplx.pack(maps))
     rhs_d = jax.device_put(cplx.pack(rhs))
 
+    # sigma CG basis: the radix-2 Pallas kernels' >128 image axes ride
+    # even|odd block order; reorder rhs once per solve instead of per
+    # iteration (CG is permutation-invariant, so convergence is identical)
+    sig = layout == "pallas" and uses_sigma_basis(img_shape)
+    sig_ax = tuple(1 + i for i, s in enumerate(img_shape) if s > 128)
+
+    def to_basis(b):
+        if not sig:
+            return b
+        S = b.shape[0]
+        return to_sigma_basis(b.reshape((S,) + img_shape),
+                              sig_ax).reshape(S, -1)
+
     def make_solver(k):
         @jax.jit
         def solve(Tf, maps_p, rhs_p):
             m = cplx.unpack(maps_p)
-            b = cplx.unpack(rhs_p)
+            b = to_basis(cplx.unpack(rhs_p))
             xs, resids = batched_cg(
                 lambda v: sense_normal_batched(Tf, m, v,
                                                coil_chunk=coil_chunk,
-                                               layout=layout),
+                                               layout=layout, sigma=sig),
                 b, lamda=1.0, iters=k)
             return resids[-1], jnp.linalg.norm(xs.real)
         return solve
@@ -142,12 +161,12 @@ def run_config(n, cpu=False):
         @jax.jit
         def apply_k(Tf, maps_p, rhs_p):
             m = cplx.unpack(maps_p)
-            b = cplx.unpack(rhs_p)
+            b = to_basis(cplx.unpack(rhs_p))
 
             def body(v, _):
                 out = sense_normal_batched(Tf, m, v,
                                            coil_chunk=coil_chunk,
-                                           layout=layout)
+                                           layout=layout, sigma=sig)
                 # renormalize so the iterated value stays finite
                 return out / jnp.maximum(
                     jnp.linalg.norm(out.real), 1e-30), None

@@ -95,17 +95,30 @@ class SenseRecon:
         self.lamda = max(float(lamda), eps * self.kernel_info["max"])
 
         n = int(np.prod(self.img_shape))
+        # sigma CG basis for the radix-2 Pallas kernels: one reorder per
+        # solve instead of per CG iteration (see ops/dft_pallas.py)
+        from ..ops.dft_pallas import (
+            uses_sigma_basis, to_sigma_basis, from_sigma_basis)
+        sig = self._layout == "pallas" and uses_sigma_basis(self.img_shape)
+        sig_ax = tuple(1 + i for i, s in enumerate(self.img_shape)
+                       if s > 128)
 
         @cplx.cjit
         def _solve(Tf, maps_p, w, y_sorted):
             m = cplx.unpack(maps_p)
             rhs = self.A.apply(w[:, None] * y_sorted, adjoint=True)
+            rhs = rhs.reshape((1,) + self.img_shape)
+            if sig:
+                rhs = to_sigma_basis(rhs, sig_ax)
             xs, resids = batched_cg(
                 lambda v: sense_normal_batched(
                     Tf, m, v, coil_chunk=self.coil_chunk,
-                    layout=self._layout),
+                    layout=self._layout, sigma=sig),
                 rhs.reshape(1, n), lamda=self.lamda, iters=self.iters)
-            return xs[0], resids[:, 0]
+            xs = xs.reshape((1,) + self.img_shape)
+            if sig:
+                xs = from_sigma_basis(xs, sig_ax)
+            return xs.reshape(1, n)[0], resids[:, 0]
 
         self._solve = _solve
 

@@ -28,6 +28,18 @@ split is 2.4x less MXU work and measures 6.6 ms vs 16.6 ms per 128^3 8-coil
 round trip (XLA matmul-DFT: 22.3 ms; XLA jnp.fft pipeline: 54.7 ms). In the
 SENSE CG loop: 156.8 iters/s vs 18.1 at round 1 — 65% of the HBM roofline.
 
+Axes longer than 128 use a radix-2 stage factorization (see _Stage): four
+half-size matmuls at full 128-deep MXU utilization plus a VPU butterfly —
+2x fewer MXU FLOPs where the matmul-DFT's O(n)-per-element work would
+otherwise dominate (256^3 measured MXU-bound). Radix stages speak the
+per-axis sigma (even|odd block) image basis — contiguous VMEM splits and
+concats only, because Mosaic lowers neither strided sublane slices nor
+lane interleaves (and in-VMEM sublane relayouts measured SLOWER than the
+HBM reorders they replaced). Solvers keep the whole CG state in the sigma
+basis (``sigma=True``; CG is permutation-invariant) so the basis costs one
+HBM reorder per SOLVE; other callers pay one reorder pass per side per
+apply (wrappers handle it; external semantics stay natural-order).
+
 Reference parity: with ops/dft_fft.py this replaces the reference's
 cuFFT/DFTI batched-FFT stage (SURVEY.md §2 native checklist row 3) — a
 "custom kernel" component of this framework, alongside ops/ell_spmm.py.
@@ -47,7 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .dft_fft import dft_pad2x_mats, block_spectrum
 
 __all__ = ["pallas_spectrum", "toeplitz_apply_pallas",
-           "sense_normal_pallas", "pallas_supported"]
+           "sense_normal_pallas", "pallas_supported",
+           "uses_sigma_basis", "to_sigma_basis", "from_sigma_basis"]
 
 
 def pallas_spectrum(Tf: np.ndarray) -> np.ndarray:
@@ -116,131 +129,345 @@ _DN_T = (((0,), (0,)), ((), ()))   # contract dim0 of both (data lhs-T)
 _DN = (((1,), (0,)), ((), ()))     # standard matmul
 
 
-def _kernel_A(ur, ui, p1, p2, our, oui):
+@functools.lru_cache(maxsize=None)
+def _get_stage(n, role):
+    return _Stage(n, role)
+
+
+def uses_sigma_basis(shape) -> bool:
+    """True when any image axis of this volume is radix (> 128) — i.e. the
+    Pallas pipeline's image basis is sigma on those axes. Solvers use this
+    to keep the whole CG state in the sigma basis (one reorder per solve);
+    other callers let the wrappers reorder per apply."""
+    return len(shape) == 3 and any(int(s) > 128 for s in shape)
+
+
+def _sigma_axes(shape):
+    return tuple(i for i, s in enumerate(shape) if int(s) > 128)
+
+
+def to_sigma_basis(a, img_axes):
+    """HBM: reorder ``img_axes`` of a natural -> sigma (even|odd blocks)."""
+    for ax in img_axes:
+        ev = lax.slice_in_dim(a, 0, a.shape[ax], stride=2, axis=ax)
+        od = lax.slice_in_dim(a, 1, a.shape[ax], stride=2, axis=ax)
+        a = jnp.concatenate([ev, od], axis=ax)
+    return a
+
+
+def from_sigma_basis(a, img_axes):
+    """HBM: reorder ``img_axes`` of a sigma -> natural (interleave)."""
+    for ax in img_axes:
+        n = a.shape[ax]
+        lo = lax.slice_in_dim(a, 0, n // 2, axis=ax)
+        hi = lax.slice_in_dim(a, n // 2, n, axis=ax)
+        a = jnp.stack([lo, hi], axis=ax + 1).reshape(
+            a.shape[:ax] + (n,) + a.shape[ax + 1:])
+    return a
+
+
+def _make_kernel_A(st1, st2):
     """fwd stage z + fwd stage y for an x-tile.
 
     ur/ui: (1, xt, n1, n2) input slab (x-major layout)
-    p1:    (6, n1, 2n1)    pack of Mf(n1).T — stage z, lhs-T contraction
-    p2:    (6, 2n2, n2)    pack of Mf(n2)   — stage y
+    packs: st1 = fwd_T(n1) (stage z), st2 = fwd_M(n2) (stage y)
     our/oui: (1, 2n2, xt, 2n1) output (Y, x, Z)
     """
-    xt = ur.shape[1]
-    q1 = p1[...]
-    q2 = p2[...]
+    k1 = len(st1.packs)
+    k2 = len(st2.packs)
 
-    def body(j, _):
-        # A1t[y, Z] = sum_z x[z, y] * MfT[z, Z]
-        a1r, a1i = _cmm(ur[0, j], ui[0, j], q1, _DN_T, const_lhs=False)
-        # A2t[Y, Z] = Mf2 @ A1t
-        a2r, a2i = _cmm(a1r, a1i, q2, _DN, const_lhs=True)
-        our[0, :, j, :] = a2r
-        oui[0, :, j, :] = a2i
-        return 0
+    def kernel(ur, ui, *rest):
+        q = [r[...] for r in rest[:k1 + k2]]
+        our, oui = rest[k1 + k2:]
+        xt = ur.shape[1]
 
-    lax.fori_loop(0, xt, body, 0, unroll=True)
+        def body(j, _):
+            # A1t[y, Z] = sum_z x[z, y] * MfT[z, Z]
+            a1r, a1i = st1.apply(ur[0, j], ui[0, j], q[:k1])
+            # A2t[Y, Z] = Mf2 @ A1t
+            a2r, a2i = st2.apply(a1r, a1i, q[k1:])
+            our[0, :, j, :] = a2r
+            oui[0, :, j, :] = a2i
+            return 0
+
+        lax.fori_loop(0, xt, body, 0, unroll=True)
+
+    return kernel
 
 
-def _kernel_B(ur, ui, tf, p3, p4, our, oui):
+def _make_kernel_B(st3, st4):
     """fwd stage x + spectrum multiply + inv stage Z for a Y-tile.
 
     ur/ui: (1, yt, n3, 2n1) (Y, x, Z) slab
     tf:    (yt, 2n1, 2n3)   spectrum in (Y, Z, X) layout, f32
-    p3:    (6, n3, 2n3)     pack of Mf(n3).T — stage x, lhs-T contraction
-    p4:    (6, n1, 2n1)     pack of Mi(n1)   — inv stage Z
+    packs: st3 = fwd_T(n3) (stage x), st4 = inv_M(n1) (inv Z)
     our/oui: (1, n1, yt, 2n3) output (z, Y, X)
     """
-    yt = ur.shape[1]
-    q3 = p3[...]
-    q4 = p4[...]
+    k3 = len(st3.packs)
+    k4 = len(st4.packs)
 
-    def body(j, _):
-        # A3[Z, X] = sum_x in[x, Z] * Mf3T[x, X]
-        a3r, a3i = _cmm(ur[0, j], ui[0, j], q3, _DN_T, const_lhs=False)
-        t = tf[j]                          # (2n1, 2n3) real
-        a3r = t * a3r
-        a3i = t * a3i
-        # out[z, X] = Mi1 @ A3
-        br, bi = _cmm(a3r, a3i, q4, _DN, const_lhs=True)
-        our[0, :, j, :] = br
-        oui[0, :, j, :] = bi
-        return 0
+    def kernel(ur, ui, tf, *rest):
+        q = [r[...] for r in rest[:k3 + k4]]
+        our, oui = rest[k3 + k4:]
+        yt = ur.shape[1]
 
-    lax.fori_loop(0, yt, body, 0, unroll=True)
+        def body(j, _):
+            # A3[Z, X] = sum_x in[x, Z] * Mf3T[x, X]
+            a3r, a3i = st3.apply(ur[0, j], ui[0, j], q[:k3])
+            t = tf[j]                          # (2n1, 2n3) real
+            # out[z, X] = Mi1 @ (t * A3)
+            br, bi = st4.apply(t * a3r, t * a3i, q[k3:])
+            our[0, :, j, :] = br
+            oui[0, :, j, :] = bi
+            return 0
+
+        lax.fori_loop(0, yt, body, 0, unroll=True)
+
+    return kernel
 
 
-def _kernel_C(ur, ui, p5, p6, our, oui):
+def _make_kernel_C(st5, st6):
     """inv stage Y + inv stage X for a z-tile.
 
     ur/ui: (1, zt, 2n2, 2n3) (z, Y, X) slab
-    p5:    (6, n2, 2n2)      pack of Mi(n2)   — inv stage Y
-    p6:    (6, 2n3, n3)      pack of Mi(n3).T — inv stage X
+    packs: st5 = inv_M(n2) (inv Y), st6 = inv_T(n3) (inv X)
     our/oui: (1, zt, n2, n3) output (z, y, x)
     """
-    zt = ur.shape[1]
-    q5 = p5[...]
-    q6 = p6[...]
+    k5 = len(st5.packs)
+    k6 = len(st6.packs)
 
-    def body(j, _):
-        # T[y, X] = Mi2 @ in
-        t1r, t1i = _cmm(ur[0, j], ui[0, j], q5, _DN, const_lhs=True)
-        # out[y, x] = T @ Mi3T
-        cr, ci = _cmm(t1r, t1i, q6, _DN, const_lhs=False)
-        our[0, j, :, :] = cr
-        oui[0, j, :, :] = ci
-        return 0
+    def kernel(ur, ui, *rest):
+        q = [r[...] for r in rest[:k5 + k6]]
+        our, oui = rest[k5 + k6:]
+        zt = ur.shape[1]
 
-    lax.fori_loop(0, zt, body, 0, unroll=True)
+        def body(j, _):
+            # T[y, X] = Mi2 @ in
+            t1r, t1i = st5.apply(ur[0, j], ui[0, j], q[:k5])
+            # out[y, x] = T @ Mi3T
+            cr, ci = st6.apply(t1r, t1i, q[k5:])
+            our[0, j, :, :] = cr
+            oui[0, j, :, :] = ci
+            return 0
+
+        lax.fori_loop(0, zt, body, 0, unroll=True)
+
+    return kernel
 
 
-def _kernel_A_fused(vr, vi, mr, mi, p1, p2, our, oui):
+# --------------------------------------------------------------------------
+# Radix-2 stage factorization for transform lengths 128 < n <= 256.
+#
+# The matmul-DFT contracts (n, 2n) matrices — O(n) MXU work per element,
+# which makes 256-class volumes MXU-bound (measured ~86 ms of bf16 passes
+# per 256^3 8-coil CG iteration vs ~23 ms of HBM). A radix-2 split turns
+# each padded 2x transform into four half-size (m=n/2 <= 128) matmuls plus
+# a VPU butterfly: 2x fewer MXU FLOPs at full 128-deep MXU utilization.
+#
+# Layout convention: radix stages speak the per-axis sigma (even|odd
+# block) IMAGE basis — contiguous VMEM splits/concats only. Measured dead
+# ends, kept for the record: (a) reordering the volume in HBM per apply
+# costs ~30 ms at 256^3 (12 fwd + 18 inv); (b) in-VMEM alternatives —
+# Mosaic lowers neither strided sublane slices nor ANY lane reorder, and
+# the lowerable sublane reshape-split/stack-interleave relayouts measured
+# SLOWER end-to-end (117.9 vs 82.6 ms/apply) than the HBM passes they
+# replaced. So the basis is hoisted instead: solvers keep the whole CG
+# state in the sigma basis (``sigma=True``; CG is permutation-invariant)
+# paying one reorder per SOLVE, while default callers pay one pass per
+# side per apply (wrappers handle it; external semantics stay natural).
+# The spectrum block layout is exactly what block_spectrum/pallas_spectrum
+# already store (the butterfly emits natural-ordered F_n outputs inside
+# each even/odd block).
+# --------------------------------------------------------------------------
+
+
+class _Stage:
+    """One per-axis transform stage: host pack arrays + a kernel-side fn.
+
+    role: 'fwd_T'  — contract data dim0, new axis on lanes   (A-z, B-x)
+          'fwd_M'  — M @ x, new axis on sublanes             (A-y)
+          'inv_M'  — Mi @ X, outputs on sublanes             (B-invZ, C-invY)
+          'inv_T'  — X @ Mi^T, outputs on lanes              (C-invX)
+
+    Radix stages speak the sigma basis: the image side of every transform
+    is in per-axis sigma (even|odd block) order, both in and out.
+    """
+
+    def __init__(self, n, role):
+        self.n = int(n)
+        self.role = role
+        self.radix = self.n > 128
+        Mf, Mi = dft_pad2x_mats(self.n)
+        if not self.radix:
+            mat = {"fwd_T": Mf.T, "fwd_M": Mf,
+                   "inv_M": Mi, "inv_T": Mi.T}[role]
+            self.packs = [_pack(mat)]
+            return
+        m = self.n // 2
+        j = np.arange(self.n)
+        jm = np.arange(m)
+        t = np.exp(-1j * np.pi * j / self.n)
+        te, to = t[0::2], t[1::2]
+        w = np.exp(-2j * np.pi * jm / self.n)
+        # twiddle vectors ride along as one stacked kernel input (Pallas
+        # forbids captured vector constants); oriented for broadcast
+        lanes = role in ("fwd_T", "inv_T")
+        if role.startswith("fwd"):
+            Fm = np.exp(-2j * np.pi * np.outer(jm, jm) / m)
+            mats = [Fm, Fm * te[None, :], Fm * to[None, :]]
+            if role == "fwd_T":
+                mats = [M.T for M in mats]
+            self.packs = [_pack(M.astype(np.complex64)) for M in mats]
+            self.packs.append(self._tw(lanes, w))
+        else:
+            Fim = 0.25 * np.exp(2j * np.pi * np.outer(jm, jm) / m) / m
+            M = Fim if role == "inv_M" else Fim.T
+            self.packs = [_pack(M.astype(np.complex64)),
+                          self._tw(lanes, np.conj(w), np.conj(te),
+                                   np.conj(to))]
+
+    @staticmethod
+    def _tw(lanes, *vs):
+        """Stack re/im parts of twiddle vectors: (2k, 1, m) or (2k, m, 1)."""
+        parts = []
+        for a in vs:
+            a = np.asarray(a, np.complex64)
+            shape = (1, len(a)) if lanes else (len(a), 1)
+            parts += [a.real.astype(np.float32).reshape(shape),
+                      a.imag.astype(np.float32).reshape(shape)]
+        return np.ascontiguousarray(np.stack(parts))
+
+    def apply(self, xr, xi, refs):
+        """Kernel-side: refs are the VMEM pack refs (len == len(self.packs));
+        returns (out_r, out_i)."""
+        role = self.role
+        if not self.radix:
+            dn = _DN_T if role in ("fwd_T",) else _DN
+            lhs = role in ("fwd_M", "inv_M")
+            return _cmm(xr, xi, refs[0][...], dn, const_lhs=lhs)
+        m = self.n // 2
+        if role in ("fwd_T", "fwd_M"):
+            lanes = role == "fwd_T"
+            dn = _DN_T if lanes else _DN
+            lhs = not lanes
+            # contiguous even/odd split: the image axis arrives in sigma
+            # (even|odd block) order — the all-sigma basis contract
+            lor, loi = xr[:m], xi[:m]
+            hir, hii = xr[m:], xi[m:]
+            q0, q1, q2 = refs[0][...], refs[1][...], refs[2][...]
+            Er, Ei = _cmm(lor, loi, q0, dn, const_lhs=lhs)
+            Or_, Oi_ = _cmm(hir, hii, q0, dn, const_lhs=lhs)
+            Epr, Epi = _cmm(lor, loi, q1, dn, const_lhs=lhs)
+            Opr, Opi = _cmm(hir, hii, q2, dn, const_lhs=lhs)
+            tw = refs[3][...]
+            wr, wi = tw[0], tw[1]
+            cat = functools.partial(jnp.concatenate,
+                                    axis=1 if lanes else 0)
+            TOr = wr * Or_ - wi * Oi_
+            TOi = wr * Oi_ + wi * Or_
+            TPr = wr * Opr - wi * Opi
+            TPi = wr * Opi + wi * Opr
+            return (cat([Er + TOr, Er - TOr, Epr + TPr, Epr - TPr]),
+                    cat([Ei + TOi, Ei - TOi, Epi + TPi, Epi - TPi]))
+        # inverse roles: fold + 4 half matmuls + conj-twiddle combine
+        lanes = role == "inv_T"
+        dn = _DN
+        lhs = not lanes
+        q = refs[0][...]
+        tw = refs[1][...]
+        vr, vi, ter, tei, tor, toi = (tw[i] for i in range(6))
+
+        def seg(a, i):
+            s = slice(i * m, (i + 1) * m)
+            return a[:, s] if lanes else a[s]
+
+        def half(Xr, Xi, i0):
+            sr, si = (seg(Xr, i0) + seg(Xr, i0 + 1),
+                      seg(Xi, i0) + seg(Xi, i0 + 1))
+            dr, di = (seg(Xr, i0) - seg(Xr, i0 + 1),
+                      seg(Xi, i0) - seg(Xi, i0 + 1))
+            gr = vr * dr - vi * di
+            gi = vr * di + vi * dr
+            er, ei = _cmm(sr, si, q, dn, const_lhs=lhs)
+            or_, oi_ = _cmm(gr, gi, q, dn, const_lhs=lhs)
+            return er, ei, or_, oi_
+
+        Aer, Aei, Aor, Aoi = half(xr, xi, 0)
+        Ber, Bei, Bor, Boi = half(xr, xi, 2)
+        lo_r = Aer + ter * Ber - tei * Bei    # even output positions
+        lo_i = Aei + ter * Bei + tei * Ber
+        hi_r = Aor + tor * Bor - toi * Boi    # odd output positions
+        hi_i = Aoi + tor * Boi + toi * Bor
+
+        # emit the contiguous even|odd block concat (sigma order): in-VMEM
+        # interleaves measured SLOWER than keeping the whole solve in the
+        # sigma basis (Mosaic relayouts), and the lane dim cannot be
+        # interleaved at all
+        cat = functools.partial(jnp.concatenate, axis=1 if lanes else 0)
+        return cat([lo_r, hi_r]), cat([lo_i, hi_i])
+
+
+def _make_kernel_A_fused(st1, st2):
     """coil-map multiply + fwd stage z + fwd stage y for an x-tile.
 
-    Same as _kernel_A but the input slab is the IMAGE (revisited across the
-    coil grid dim — read once per x-tile, not once per coil) and the coil
-    map multiply happens in VMEM, so the (S*nc)-volume u = m*v intermediate
-    never exists in HBM.
+    Same as _make_kernel_A but the input slab is the IMAGE (revisited
+    across the coil grid dim — read once per x-tile, not once per coil) and
+    the coil map multiply happens in VMEM, so the (S*nc)-volume u = m*v
+    intermediate never exists in HBM.
     """
-    xt = vr.shape[1]
-    q1 = p1[...]
-    q2 = p2[...]
+    k1 = len(st1.packs)
+    k2 = len(st2.packs)
 
-    def body(j, _):
-        ur = vr[0, j] * mr[0, j] - vi[0, j] * mi[0, j]
-        ui = vr[0, j] * mi[0, j] + vi[0, j] * mr[0, j]
-        a1r, a1i = _cmm(ur, ui, q1, _DN_T, const_lhs=False)
-        a2r, a2i = _cmm(a1r, a1i, q2, _DN, const_lhs=True)
-        our[0, :, j, :] = a2r
-        oui[0, :, j, :] = a2i
-        return 0
+    def kernel(vr, vi, mr, mi, *rest):
+        q = [r[...] for r in rest[:k1 + k2]]
+        our, oui = rest[k1 + k2:]
+        xt = vr.shape[1]
 
-    lax.fori_loop(0, xt, body, 0, unroll=True)
+        def body(j, _):
+            ur = vr[0, j] * mr[0, j] - vi[0, j] * mi[0, j]
+            ui = vr[0, j] * mi[0, j] + vi[0, j] * mr[0, j]
+            a1r, a1i = st1.apply(ur, ui, q[:k1])
+            a2r, a2i = st2.apply(a1r, a1i, q[k1:])
+            our[0, :, j, :] = a2r
+            oui[0, :, j, :] = a2i
+            return 0
+
+        lax.fori_loop(0, xt, body, 0, unroll=True)
+
+    return kernel
 
 
-def _kernel_C_fused(ur, ui, mr, mi, p5, p6, our, oui):
+def _make_kernel_C_fused(st5, st6):
     """inv stage Y + inv stage X + conj(map) multiply-accumulate.
 
     The coil grid dim iterates fastest; the output block (indexed by slice
     and z-tile only) stays VMEM-resident across coils, zeroed on the first
     coil — the coil-combine sum never materializes per-coil volumes in HBM.
     """
-    c = pl.program_id(2)
-    zt = ur.shape[1]
-    q5 = p5[...]
-    q6 = p6[...]
+    k5 = len(st5.packs)
+    k6 = len(st6.packs)
 
-    @pl.when(c == 0)
-    def _():
-        our[...] = jnp.zeros_like(our)
-        oui[...] = jnp.zeros_like(oui)
+    def kernel(ur, ui, mr, mi, *rest):
+        q = [r[...] for r in rest[:k5 + k6]]
+        our, oui = rest[k5 + k6:]
+        c = pl.program_id(2)
+        zt = ur.shape[1]
 
-    def body(j, _):
-        t1r, t1i = _cmm(ur[0, j], ui[0, j], q5, _DN, const_lhs=True)
-        cr, ci = _cmm(t1r, t1i, q6, _DN, const_lhs=False)
-        our[0, j] += mr[0, j] * cr + mi[0, j] * ci    # conj(m) * res
-        oui[0, j] += mr[0, j] * ci - mi[0, j] * cr
-        return 0
+        @pl.when(c == 0)
+        def _():
+            our[...] = jnp.zeros_like(our)
+            oui[...] = jnp.zeros_like(oui)
 
-    lax.fori_loop(0, zt, body, 0, unroll=True)
+        def body(j, _):
+            t1r, t1i = st5.apply(ur[0, j], ui[0, j], q[:k5])
+            cr, ci = st6.apply(t1r, t1i, q[k5:])
+            our[0, j] += mr[0, j] * cr + mi[0, j] * ci    # conj(m) * res
+            oui[0, j] += mr[0, j] * ci - mi[0, j] * cr
+            return 0
+
+        lax.fori_loop(0, zt, body, 0, unroll=True)
+
+    return kernel
 
 
 _TILE = 8  # Mosaic: a block's second-to-last dim must be divisible by 8
@@ -258,8 +485,8 @@ def pallas_supported(shape) -> bool:
     return all(s % 8 == 0 and 8 <= s <= 256 for s in shape)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sense_normal_pallas(Tfp, maps, v, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "sigma"))
+def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     """Full SENSE Toeplitz normal op, coil handling fused into the kernels:
 
         out_s = sum_c conj(m_c) * crop(IFFT(Tf * FFT(pad_2x(m_c * v_s))))
@@ -274,6 +501,12 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False):
     and the per-coil combine read never touch HBM — ~25% less traffic per
     CG iteration. The map transposes depend only on loop constants, so XLA
     hoists them out of solver loops.
+
+    sigma: when any image axis is radix (> 128), True means v is ALREADY
+    in the per-radix-axis sigma basis and the output is left in it — the
+    solver-loop contract (see module layout convention; one reorder per
+    solve instead of per iteration). False adds one HBM reorder pass per
+    side. No-op for volumes with all axes <= 128.
     """
     S, n1, n2, n3 = v.shape
     nc = maps.shape[0]
@@ -281,21 +514,26 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False):
     assert pallas_supported((n1, n2, n3)), (n1, n2, n3)
     xt = yt = zt = _TILE
     B = S * nc
+    sig_ax = tuple(1 + ax for ax in _sigma_axes((n1, n2, n3)))
 
-    Mf1, Mi1 = dft_pad2x_mats(n1)
-    Mf2, Mi2 = dft_pad2x_mats(n2)
-    Mf3, Mi3 = dft_pad2x_mats(n3)
-    p1 = _pack(Mf1.T)
-    p2 = _pack(Mf2)
-    p3 = _pack(Mf3.T)
-    p4 = _pack(Mi1)
-    p5 = _pack(Mi2)
-    p6 = _pack(Mi3.T)
+    st1 = _get_stage(n1, "fwd_T")
+    st2 = _get_stage(n2, "fwd_M")
+    st3 = _get_stage(n3, "fwd_T")
+    st4 = _get_stage(n1, "inv_M")
+    st5 = _get_stage(n2, "inv_M")
+    st6 = _get_stage(n3, "inv_T")
+
+    # the kernels' image basis is sigma on every radix axis; maps always
+    # ride that basis (trace-time constants — XLA hoists the reorder), the
+    # image only when the caller isn't already holding sigma-basis state
+    maps = to_sigma_basis(maps, sig_ax)
+    if sig_ax and not sigma:
+        v = to_sigma_basis(v, sig_ax)
 
     # entry transposes to x-major (image per-call; maps hoisted by XLA LICM)
     vt = jnp.transpose(v, (0, 3, 1, 2))
-    vr, vi = jnp.real(vt), jnp.imag(vt)
     mt = jnp.transpose(maps, (0, 3, 1, 2))
+    vr, vi = jnp.real(vt), jnp.imag(vt)
     mxr, mxi = jnp.real(mt), jnp.imag(mt)
     mnr, mni = jnp.real(maps), jnp.imag(maps)
 
@@ -304,9 +542,10 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False):
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     # ---- kernel A (fused): image x-tile revisited across coils ----------
+    pA = st1.packs + st2.packs
     a_out = [jax.ShapeDtypeStruct((B, 2 * n2, n3, 2 * n1), jnp.float32)] * 2
     ar, ai = pl.pallas_call(
-        _kernel_A_fused,
+        _make_kernel_A_fused(st1, st2),
         grid=(S, n3 // xt, nc),
         in_specs=[
             pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (s, t, 0, 0),
@@ -317,8 +556,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (c, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(p1), full(p2),
-        ],
+        ] + [full(p) for p in pA],
         out_specs=[
             pl.BlockSpec((1, 2 * n2, xt, 2 * n1),
                          lambda s, t, c: (s * nc + c, 0, t, 0),
@@ -326,12 +564,13 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False):
         out_shape=a_out,
         compiler_params=cparams,
         interpret=interpret,
-    )(vr, vi, mxr, mxi, p1, p2)
+    )(vr, vi, mxr, mxi, *pA)
 
     # ---- kernel B: unchanged (per-coil-volume independent) --------------
+    pB = st3.packs + st4.packs
     b_out = [jax.ShapeDtypeStruct((B, n1, 2 * n2, 2 * n3), jnp.float32)] * 2
     br, bi = pl.pallas_call(
-        _kernel_B,
+        _make_kernel_B(st3, st4),
         grid=(2 * n2 // yt, B),
         in_specs=[
             pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
@@ -340,20 +579,20 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((yt, 2 * n1, 2 * n3), lambda t, b: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(p3), full(p4),
-        ],
+        ] + [full(p) for p in pB],
         out_specs=[
             pl.BlockSpec((1, n1, yt, 2 * n3), lambda t, b: (b, 0, t, 0),
                          memory_space=pltpu.VMEM)] * 2,
         out_shape=b_out,
         compiler_params=cparams,
         interpret=interpret,
-    )(ar, ai, Tfp, p3, p4)
+    )(ar, ai, Tfp, *pB)
 
     # ---- kernel C (fused): coil fastest; output accumulates in VMEM -----
+    pC = st5.packs + st6.packs
     c_out = [jax.ShapeDtypeStruct((S, n1, n2, n3), jnp.float32)] * 2
     cr, ci = pl.pallas_call(
-        _kernel_C_fused,
+        _make_kernel_C_fused(st5, st6),
         grid=(S, n1 // zt, nc),
         in_specs=[
             pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
@@ -366,40 +605,46 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, zt, n2, n3), lambda s, t, c: (c, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(p5), full(p6),
-        ],
+        ] + [full(p) for p in pC],
         out_specs=[
             pl.BlockSpec((1, zt, n2, n3), lambda s, t, c: (s, t, 0, 0),
                          memory_space=pltpu.VMEM)] * 2,
         out_shape=c_out,
         compiler_params=cparams,
         interpret=interpret,
-    )(br, bi, mnr, mni, p5, p6)
+    )(br, bi, mnr, mni, *pC)
 
-    return lax.complex(cr, ci)
+    out = lax.complex(cr, ci)
+    if sig_ax and not sigma:
+        out = from_sigma_basis(out, sig_ax)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def toeplitz_apply_pallas(Tfp, u, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "sigma"))
+def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     """crop(IFFT(Tf * FFT(pad_2x(u)))) via three fused Pallas kernels.
 
     u:   (B, n1, n2, n3) complex64
     Tfp: (2n2, 2n1, 2n3) float32 — ``pallas_spectrum(Tf)`` layout.
     Returns (B, n1, n2, n3) complex64.
+
+    sigma: sigma-basis contract for radix (> 128) axes — see
+    ``sense_normal_pallas``.
     """
     B, n1, n2, n3 = u.shape
     assert pallas_supported((n1, n2, n3)), (n1, n2, n3)
     xt = yt = zt = _TILE
+    sig_ax = tuple(1 + ax for ax in _sigma_axes((n1, n2, n3)))
 
-    Mf1, Mi1 = dft_pad2x_mats(n1)
-    Mf2, Mi2 = dft_pad2x_mats(n2)
-    Mf3, Mi3 = dft_pad2x_mats(n3)
-    p1 = _pack(Mf1.T)          # (6, n1, 2n1)
-    p2 = _pack(Mf2)            # (6, 2n2, n2)
-    p3 = _pack(Mf3.T)          # (6, n3, 2n3)
-    p4 = _pack(Mi1)            # (6, n1, 2n1)
-    p5 = _pack(Mi2)            # (6, n2, 2n2)
-    p6 = _pack(Mi3.T)          # (6, 2n3, n3)
+    st1 = _get_stage(n1, "fwd_T")
+    st2 = _get_stage(n2, "fwd_M")
+    st3 = _get_stage(n3, "fwd_T")
+    st4 = _get_stage(n1, "inv_M")
+    st5 = _get_stage(n2, "inv_M")
+    st6 = _get_stage(n3, "inv_T")
+
+    if sig_ax and not sigma:
+        u = to_sigma_basis(u, sig_ax)
 
     # entry transpose to x-major (fused with the re/im split by XLA)
     ut = jnp.transpose(u, (0, 3, 1, 2))
@@ -412,17 +657,17 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False):
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     # ---- kernel A: (B, x, z, y) -> (B, Y, x, Z) -------------------------
+    pA = st1.packs + st2.packs
     a_out = [jax.ShapeDtypeStruct((B, 2 * n2, n3, 2 * n1), jnp.float32)] * 2
     ar, ai = pl.pallas_call(
-        _kernel_A,
+        _make_kernel_A(st1, st2),
         grid=(B, n3 // xt),
         in_specs=[
             pl.BlockSpec((1, xt, n1, n2), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, xt, n1, n2), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(p1), full(p2),
-        ],
+        ] + [full(p) for p in pA],
         out_specs=[
             pl.BlockSpec((1, 2 * n2, xt, 2 * n1),
                          lambda b, t: (b, 0, t, 0),
@@ -430,13 +675,14 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False):
         out_shape=a_out,
         compiler_params=cparams,
         interpret=interpret,
-    )(ur, ui, p1, p2)
+    )(ur, ui, *pA)
 
     # ---- kernel B: (B, Y, x, Z) -> (B, z, Y, X) -------------------------
     # grid: Y-tiles slowest so the Tf block is revisited across B
+    pB = st3.packs + st4.packs
     b_out = [jax.ShapeDtypeStruct((B, n1, 2 * n2, 2 * n3), jnp.float32)] * 2
     br, bi = pl.pallas_call(
-        _kernel_B,
+        _make_kernel_B(st3, st4),
         grid=(2 * n2 // yt, B),
         in_specs=[
             pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
@@ -445,20 +691,20 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((yt, 2 * n1, 2 * n3), lambda t, b: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(p3), full(p4),
-        ],
+        ] + [full(p) for p in pB],
         out_specs=[
             pl.BlockSpec((1, n1, yt, 2 * n3), lambda t, b: (b, 0, t, 0),
                          memory_space=pltpu.VMEM)] * 2,
         out_shape=b_out,
         compiler_params=cparams,
         interpret=interpret,
-    )(ar, ai, Tfp, p3, p4)
+    )(ar, ai, Tfp, *pB)
 
     # ---- kernel C: (B, z, Y, X) -> (B, z, y, x) -------------------------
+    pC = st5.packs + st6.packs
     c_out = [jax.ShapeDtypeStruct((B, n1, n2, n3), jnp.float32)] * 2
     cr, ci = pl.pallas_call(
-        _kernel_C,
+        _make_kernel_C(st5, st6),
         grid=(B, n1 // zt),
         in_specs=[
             pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
@@ -467,14 +713,16 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False):
             pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
                          lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(p5), full(p6),
-        ],
+        ] + [full(p) for p in pC],
         out_specs=[
             pl.BlockSpec((1, zt, n2, n3), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM)] * 2,
         out_shape=c_out,
         compiler_params=cparams,
         interpret=interpret,
-    )(br, bi, p5, p6)
+    )(br, bi, *pC)
 
-    return lax.complex(cr, ci)
+    out = lax.complex(cr, ci)
+    if sig_ax and not sigma:
+        out = from_sigma_basis(out, sig_ax)
+    return out

@@ -363,7 +363,11 @@ def tile_interp_apply(plan, x, adjoint=False, chunk=None):
     x = x.astype(jnp.float32)
     K = x.shape[1]
     if chunk is None:
-        chunk = max(1024, (1 << 28) // (plan.S * K * 512))
+        # measured sweet spots (128^3 radial, v5e): the forward gather
+        # prefers ~256MB of scratch; the wide-K adjoint scatter amortizes
+        # better with ~1GB
+        target = (1 << 30) if (adjoint and K > 4) else (1 << 28)
+        chunk = max(1024, target // (plan.S * K * 512))
     if adjoint:
         assert x.shape[0] == M, (x.shape, M)
         NT = int(np.prod(plan.nt))

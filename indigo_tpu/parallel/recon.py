@@ -25,7 +25,8 @@ __all__ = [
 ]
 
 
-def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
+def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw",
+                         sigma=False):
     """Batched Toeplitz SENSE normal op.
 
     Tf:   (*2N)      real   — Toeplitz spectrum (replicated)
@@ -45,6 +46,11 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
     and the fused Pallas kernels run (3D TPU fast path — bench.py,
     SenseRecon). "fft" keeps the per-axis jnp.fft path
     (ops/toeplitz_fft.py) for cross-checks.
+
+    ``sigma`` (pallas layout, radix volumes only): xs' image axes > 128
+    are in sigma (even|odd block) order and the result is returned in the
+    same basis — lets CG loops skip the per-iteration HBM reorders the
+    radix-2 kernels otherwise need (see ops/dft_pallas.py layout notes).
     """
     import jax as _jax
     from ..ops.dft_fft import toeplitz_apply_block, block_perm
@@ -57,6 +63,8 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
     S = xs.shape[0]
     v = xs.reshape((S,) + img_shape)
     axes = tuple(range(2, 2 + nd))
+    assert not (sigma and layout != "pallas"), \
+        "sigma basis is a pallas-path contract"
 
     if layout == "raw":
         Tf = Tf[np.ix_(*(block_perm(int(s)) for s in Tf.shape))]
@@ -69,7 +77,8 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw"):
             # intermediate and the per-coil combine never touch HBM
             return sense_normal_pallas(
                 Tf, m, v.astype(jnp.complex64),
-                interpret=_jax.default_backend() == "cpu")
+                interpret=_jax.default_backend() == "cpu",
+                sigma=sigma)
         u = m[None] * v[:, None]
         cc = m.shape[0]
         if layout == "block":

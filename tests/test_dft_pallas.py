@@ -29,6 +29,45 @@ def test_matches_jnp_block_path(shape, rng):
     assert rel_err(out, ref) < 2e-4
 
 
+# one >128 axis at a time: exercises every radix-2 role pair
+# (z: fwd_T/inv_M, y: fwd_M/inv_M, x: fwd_T/inv_T) without a big volume
+@pytest.mark.parametrize("shape", [(136, 8, 16), (8, 136, 16), (8, 16, 136)])
+def test_radix2_axes_match_jnp_block_path(shape, rng):
+    n1, n2, n3 = shape
+    Tf = rng.standard_normal((2 * n1, 2 * n2, 2 * n3)).astype(np.float32)
+    u = rand64c(2, *shape, rng=rng)
+    ref = np.asarray(jax.jit(toeplitz_apply_block)(
+        jnp.asarray(block_spectrum(Tf)), jnp.asarray(u)))
+    out = np.asarray(toeplitz_apply_pallas(
+        jnp.asarray(pallas_spectrum(Tf)), jnp.asarray(u), interpret=True))
+    assert rel_err(out, ref) < 2e-4
+
+
+def test_sigma_basis_contract(rng):
+    # solver contract: sigma in, sigma out == natural path conjugated by
+    # the per-radix-axis reorder (so CG loops can skip per-iter fixups)
+    from indigo_tpu.ops.dft_pallas import (
+        to_sigma_basis, from_sigma_basis, uses_sigma_basis)
+
+    shape = (136, 16, 136)           # two radix axes at once
+    assert uses_sigma_basis(shape)
+    sig_ax = (1, 3)
+    Tf = rng.standard_normal(
+        tuple(2 * s for s in shape)).astype(np.float32)
+    u = rand64c(2, *shape, rng=rng)
+    Tp = jnp.asarray(pallas_spectrum(Tf))
+    ref = np.asarray(toeplitz_apply_pallas(Tp, jnp.asarray(u),
+                                           interpret=True))
+    us = to_sigma_basis(jnp.asarray(u), sig_ax)
+    out = from_sigma_basis(
+        toeplitz_apply_pallas(Tp, us, interpret=True, sigma=True), sig_ax)
+    assert rel_err(np.asarray(out), ref) < 1e-5
+    # round-trip of the reorder helpers
+    assert np.allclose(
+        np.asarray(from_sigma_basis(to_sigma_basis(jnp.asarray(u), sig_ax),
+                                    sig_ax)), u)
+
+
 def test_identity_kernel_roundtrip(rng):
     shape = (16, 16, 16)
     u = rand64c(1, *shape, rng=rng)
@@ -62,11 +101,11 @@ def test_toeplitz_normal_pallas_method(rng):
     assert Ka._method == "dft"
 
 
-def test_sense_normal_batched_pallas_layout(rng):
+@pytest.mark.parametrize("img", [(8, 8, 8), (8, 136, 8)])
+def test_sense_normal_batched_pallas_layout(img, rng):
     import indigo_tpu as it
     from indigo_tpu.parallel.recon import sense_normal_batched
 
-    img = (8, 8, 8)
     nc, S = 2, 2
     Tf = rng.standard_normal(tuple(2 * s for s in img)).astype(np.float32)
     maps = rand64c(nc, *img, rng=rng)

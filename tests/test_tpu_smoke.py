@@ -82,6 +82,37 @@ def test_dft_pallas_compiles_and_matches(rng):
     assert err < 2e-4
 
 
+def test_dft_pallas_radix2_compiles_and_matches(rng):
+    # one >128 axis: the radix-2 stage path (strided VMEM splits + VPU
+    # interleave) must survive Mosaic lowering
+    from indigo_tpu.ops.dft_fft import block_spectrum, toeplitz_apply_block
+    from indigo_tpu.ops.dft_pallas import pallas_spectrum, \
+        toeplitz_apply_pallas
+
+    shape = (8, 136, 16)
+    Tf = rng.standard_normal(tuple(2 * s for s in shape)).astype(np.float32)
+    ur = rng.standard_normal((2,) + shape).astype(np.float32)
+    ui = rng.standard_normal((2,) + shape).astype(np.float32)
+    Tb = jnp.asarray(block_spectrum(Tf))
+    Tp = jnp.asarray(pallas_spectrum(Tf))
+
+    @jax.jit
+    def ref(Tb, ur, ui):
+        o = toeplitz_apply_block(Tb, jax.lax.complex(ur, ui))
+        return o.real, o.imag
+
+    @jax.jit
+    def out(Tp, ur, ui):
+        o = toeplitz_apply_pallas(Tp, jax.lax.complex(ur, ui))
+        return o.real, o.imag
+
+    rr, _ = ref(Tb, jnp.asarray(ur), jnp.asarray(ui))
+    orr, _ = out(Tp, jnp.asarray(ur), jnp.asarray(ui))
+    err = (np.linalg.norm(np.asarray(orr) - np.asarray(rr))
+           / np.linalg.norm(np.asarray(rr)))
+    assert err < 2e-4
+
+
 def test_tile_interp_compiles_and_matches(rng):
     from indigo_tpu.noncart import interp_mat, beatty_beta
     from indigo_tpu.ops.tile_interp import plan_tile_interp, \
