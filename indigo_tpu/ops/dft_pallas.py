@@ -166,7 +166,7 @@ def from_sigma_basis(a, img_axes):
     return a
 
 
-def _make_kernel_A(st1, st2):
+def _make_kernel_A(st1, st2, unroll=True):
     """fwd stage z + fwd stage y for an x-tile.
 
     ur/ui: (1, xt, n1, n2) input slab (x-major layout)
@@ -190,12 +190,12 @@ def _make_kernel_A(st1, st2):
             oui[0, :, j, :] = a2i
             return 0
 
-        lax.fori_loop(0, xt, body, 0, unroll=True)
+        lax.fori_loop(0, xt, body, 0, unroll=unroll)
 
     return kernel
 
 
-def _make_kernel_B(st3, st4):
+def _make_kernel_B(st3, st4, unroll=True):
     """fwd stage x + spectrum multiply + inv stage Z for a Y-tile.
 
     ur/ui: (1, yt, n3, 2n1) (Y, x, Z) slab
@@ -221,12 +221,12 @@ def _make_kernel_B(st3, st4):
             oui[0, :, j, :] = bi
             return 0
 
-        lax.fori_loop(0, yt, body, 0, unroll=True)
+        lax.fori_loop(0, yt, body, 0, unroll=unroll)
 
     return kernel
 
 
-def _make_kernel_C(st5, st6):
+def _make_kernel_C(st5, st6, unroll=True):
     """inv stage Y + inv stage X for a z-tile.
 
     ur/ui: (1, zt, 2n2, 2n3) (z, Y, X) slab
@@ -250,7 +250,7 @@ def _make_kernel_C(st5, st6):
             oui[0, j, :, :] = ci
             return 0
 
-        lax.fori_loop(0, zt, body, 0, unroll=True)
+        lax.fori_loop(0, zt, body, 0, unroll=unroll)
 
     return kernel
 
@@ -407,7 +407,7 @@ class _Stage:
         return cat([lo_r, hi_r]), cat([lo_i, hi_i])
 
 
-def _make_kernel_A_fused(st1, st2):
+def _make_kernel_A_fused(st1, st2, unroll=True):
     """coil-map multiply + fwd stage z + fwd stage y for an x-tile.
 
     Same as _make_kernel_A but the input slab is the IMAGE (revisited
@@ -432,12 +432,12 @@ def _make_kernel_A_fused(st1, st2):
             oui[0, :, j, :] = a2i
             return 0
 
-        lax.fori_loop(0, xt, body, 0, unroll=True)
+        lax.fori_loop(0, xt, body, 0, unroll=unroll)
 
     return kernel
 
 
-def _make_kernel_C_fused(st5, st6):
+def _make_kernel_C_fused(st5, st6, unroll=True):
     """inv stage Y + inv stage X + conj(map) multiply-accumulate.
 
     The coil grid dim iterates fastest; the output block (indexed by slice
@@ -465,7 +465,7 @@ def _make_kernel_C_fused(st5, st6):
             oui[0, j] += mr[0, j] * ci - mi[0, j] * cr
             return 0
 
-        lax.fori_loop(0, zt, body, 0, unroll=True)
+        lax.fori_loop(0, zt, body, 0, unroll=unroll)
 
     return kernel
 
@@ -545,7 +545,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     pA = st1.packs + st2.packs
     a_out = [jax.ShapeDtypeStruct((B, 2 * n2, n3, 2 * n1), jnp.float32)] * 2
     ar, ai = pl.pallas_call(
-        _make_kernel_A_fused(st1, st2),
+        _make_kernel_A_fused(st1, st2, unroll=not interpret),
         grid=(S, n3 // xt, nc),
         in_specs=[
             pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (s, t, 0, 0),
@@ -570,7 +570,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     pB = st3.packs + st4.packs
     b_out = [jax.ShapeDtypeStruct((B, n1, 2 * n2, 2 * n3), jnp.float32)] * 2
     br, bi = pl.pallas_call(
-        _make_kernel_B(st3, st4),
+        _make_kernel_B(st3, st4, unroll=not interpret),
         grid=(2 * n2 // yt, B),
         in_specs=[
             pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
@@ -592,7 +592,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     pC = st5.packs + st6.packs
     c_out = [jax.ShapeDtypeStruct((S, n1, n2, n3), jnp.float32)] * 2
     cr, ci = pl.pallas_call(
-        _make_kernel_C_fused(st5, st6),
+        _make_kernel_C_fused(st5, st6, unroll=not interpret),
         grid=(S, n1 // zt, nc),
         in_specs=[
             pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
@@ -660,7 +660,7 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     pA = st1.packs + st2.packs
     a_out = [jax.ShapeDtypeStruct((B, 2 * n2, n3, 2 * n1), jnp.float32)] * 2
     ar, ai = pl.pallas_call(
-        _make_kernel_A(st1, st2),
+        _make_kernel_A(st1, st2, unroll=not interpret),
         grid=(B, n3 // xt),
         in_specs=[
             pl.BlockSpec((1, xt, n1, n2), lambda b, t: (b, t, 0, 0),
@@ -682,7 +682,7 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     pB = st3.packs + st4.packs
     b_out = [jax.ShapeDtypeStruct((B, n1, 2 * n2, 2 * n3), jnp.float32)] * 2
     br, bi = pl.pallas_call(
-        _make_kernel_B(st3, st4),
+        _make_kernel_B(st3, st4, unroll=not interpret),
         grid=(2 * n2 // yt, B),
         in_specs=[
             pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
@@ -704,7 +704,7 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     pC = st5.packs + st6.packs
     c_out = [jax.ShapeDtypeStruct((B, n1, n2, n3), jnp.float32)] * 2
     cr, ci = pl.pallas_call(
-        _make_kernel_C(st5, st6),
+        _make_kernel_C(st5, st6, unroll=not interpret),
         grid=(B, n1 // zt),
         in_specs=[
             pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
