@@ -188,24 +188,42 @@ def run_config(n, cpu=False):
     t_w1, nrm = timed(s1)
     t_w2, _ = timed(s2)
     t_first = time.time() - t0
-    # tunnel fetch latency is high-variance: take the best of 3 difference
-    # pairs (min is the robust estimator for timing noise, which is
-    # strictly additive)
-    diffs = []
-    for _ in range(3):
-        t_a1, _ = timed(s1)
-        t_a2, nrm = timed(s2)
-        diffs.append(t_a2 - t_a1)
+
+    def iter_estimate(ka, kb, fa, fb, npairs=5):
+        """Median of (t(kb)-t(ka))/(kb-ka) difference pairs — fetch
+        latency cancels; median resists the multi-ms tunnel jitter that
+        made a min-of-3 estimator flatter small configs by ~15%."""
+        ds = []
+        nrm = None
+        for _ in range(npairs):
+            ta, _ = timed(fa)
+            tb, nrm = timed(fb)
+            ds.append(tb - ta)
+        med = float(np.median(ds))
+        if med <= 0:   # noise dominates (tiny problems)
+            med = max(float(np.mean(ds)), 1e-9)
+        return med / (kb - ka), nrm
+
+    per_iter, nrm = iter_estimate(k1, k2, s1, s2, npairs=3)
     assert np.isfinite(nrm), "non-finite reconstruction"
-    best = min(diffs)
-    if best <= 0:  # fetch-latency noise dominates (tiny problems)
-        best = float(np.median(diffs))
-    per_iter = max(best / (k2 - k1), 1e-9)
+    # adapt the span so the measured difference is >= ~0.5 s of device
+    # work: at 128^3 a 5-iter span is ~30 ms, far below the tunnel's
+    # multi-ms fetch jitter. Skip when the default span is already >=0.3 s
+    # (e.g. 256^3) — the adapted solvers would recompile for minutes.
+    span = min(max(int(np.ceil(0.5 / max(per_iter, 1e-9))), k2 - k1), 1000)
+    if not cpu and span > k2 - k1 and per_iter * (k2 - k1) < 0.3:
+        k1a, k2a = k2, k2 + span
+        s1a, s2a = make_solver(k1a), make_solver(k2a)
+        timed(s1a)
+        timed(s2a)  # compile both
+        per_iter, nrm = iter_estimate(k1a, k2a, s1a, s2a)
+        assert np.isfinite(nrm), "non-finite reconstruction"
     t_warm = per_iter * k2
     ips = 1.0 / per_iter
 
     # NUFFT normal-op applies/sec (the BASELINE.json companion metric)
-    a1, a2 = make_apply(k1), make_apply(k2)
+    ka1, ka2 = k1, k1 + max(k2 - k1, min(span, 200))
+    a1, a2 = make_apply(ka1), make_apply(ka2)
 
     def timed_a(f):
         t0 = time.time()
@@ -215,14 +233,14 @@ def run_config(n, cpu=False):
     timed_a(a1)
     timed_a(a2)
     adiffs = []
-    for _ in range(3):
+    for _ in range(5):
         u1 = timed_a(a1)
         u2 = timed_a(a2)
         adiffs.append(u2 - u1)
-    besta = min(adiffs)
+    besta = float(np.median(adiffs))
     if besta <= 0:
-        besta = float(np.median(adiffs))
-    per_apply = max(besta / (k2 - k1), per_iter / 4)
+        besta = max(float(np.mean(adiffs)), 1e-9)
+    per_apply = max(besta / (ka2 - ka1), per_iter / 4)
     log(f"normal-op applies/sec: {1.0/per_apply:.2f} "
         f"({per_apply*1e3:.1f} ms/apply)")
 

@@ -24,9 +24,10 @@ NINE bf16 MXU passes: Karatsuba (3 real products per complex product, the
 matrix sums folded into host-built constants) x bf16x3 float32 emulation
 (constants pre-split hi/lo on host, data tiles split on the VPU). Mosaic's
 own f32 matmul (precision=HIGHEST) costs 24 equivalent passes — the manual
-split is 2.4x less MXU work and measures 6.6 ms vs 16.6 ms per 128^3 8-coil
+split is 2.4x less MXU work and measures 6.1 ms vs 16.6 ms per 128^3 8-coil
 round trip (XLA matmul-DFT: 22.3 ms; XLA jnp.fft pipeline: 54.7 ms). In the
-SENSE CG loop: 156.8 iters/s vs 18.1 at round 1 — 65% of the HBM roofline.
+SENSE CG loop: ~155 iters/s vs 18.1 at round 1 (long-span median timing;
+the 183 recorded mid-round was a short-span min-estimator artifact).
 
 Axes longer than 128 use a radix-2 stage factorization (see _Stage): four
 half-size matmuls at full 128-deep MXU utilization plus a VPU butterfly —
@@ -470,7 +471,10 @@ def _make_kernel_C_fused(st5, st6, unroll=True):
     return kernel
 
 
-_TILE = 8  # Mosaic: a block's second-to-last dim must be divisible by 8
+_TILE = 8  # Mosaic: a block's second-to-last dim must be divisible by 8.
+# (16-deep tiles were measured at 128^3: identical apply time, much longer
+# Mosaic compiles — the kernels are DMA/MXU-balance bound, not
+# grid-step bound.)
 
 
 def pallas_supported(shape) -> bool:

@@ -183,7 +183,7 @@ class ToeplitzNormal(Operator):
             from .ops.dft_pallas import pallas_spectrum, pallas_supported
             assert pallas_supported(img_shape), (
                 f"pallas path needs a 3D volume with dims multiple-of-8 "
-                f"<=128, got {img_shape}")
+                f"<=256, got {img_shape}")
             Tf = pallas_spectrum(np.asarray(Tf))  # host-side, once
         elif method == "dft":
             from .ops.dft_fft import block_spectrum
