@@ -98,7 +98,7 @@ def run_config(n, cpu=False):
     from indigo_tpu.ops.dft_fft import block_spectrum
     from indigo_tpu.ops.dft_pallas import (
         pallas_spectrum, pallas_supported, uses_sigma_basis,
-        to_sigma_basis)
+        to_sigma_basis, solver_sigma_axes)
     from indigo_tpu.parallel.recon import sense_normal_batched, batched_cg
 
     cc_env = os.environ.get("BENCH_COIL_CHUNK")
@@ -135,7 +135,7 @@ def run_config(n, cpu=False):
     # even|odd block order; reorder rhs once per solve instead of per
     # iteration (CG is permutation-invariant, so convergence is identical)
     sig = layout == "pallas" and uses_sigma_basis(img_shape)
-    sig_ax = tuple(1 + i for i, s in enumerate(img_shape) if s > 128)
+    sig_ax = solver_sigma_axes(img_shape)
 
     def to_basis(b):
         if not sig:

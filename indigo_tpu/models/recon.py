@@ -37,6 +37,11 @@ class SenseRecon:
     order — folded into the normal equations (A^H W A x = A^H W y).
     The CG runs on the Toeplitz-embedded normal operator (no SpMM in the
     loop); the gridded operator serves forward simulation and the rhs.
+
+    lamda: Tikhonov weight. None (default) picks 1e-3 * |Tf|_max, floored
+    at the gridding-error stability scale (see ``lamda_floor``); an
+    explicit value is used verbatim (with a warning if it sits below the
+    floor, where CG can stall on the spectrum's indefinite part).
     """
 
     def __init__(self, traj, maps, oversamp=1.25, width=4, lamda=None,
@@ -81,27 +86,43 @@ class SenseRecon:
             self._Tf = jax.device_put(jnp.asarray(block_spectrum(Tf)))
         self._maps = jax.device_put(cplx.pack(maps))
         self._wd = jax.device_put(jnp.asarray(self._w_sorted))
-        if lamda is None:
-            lamda = 1e-3 * self.kernel_info["max"]
         # Stability floor: the restricted Toeplitz operator is PSD up to
         # GRIDDING error (its spectrum's pointwise negatives are normal
         # Dirichlet structure, ~7% of peak even for accurate kernels), so
         # the indefiniteness that can break CG is of order the KB-kernel
-        # aliasing amplitude. Floor lamda at that scale — ~10^(1-width),
-        # 3x worse below 1.25x oversampling — which coincides with the
-        # default lamda for default parameters and grows protectively for
-        # deliberately coarse kernels. No operator distortion.
+        # aliasing amplitude — ~10^(1-width), 3x worse below 1.25x
+        # oversampling. The DEFAULT lamda is floored at that scale (it
+        # coincides with 1e-3*max for default parameters and grows
+        # protectively for deliberately coarse kernels). An EXPLICIT lamda
+        # is always respected — if it sits below the floor, CG may stall
+        # on the indefinite part, so we warn instead of silently changing
+        # the solved problem.
         eps = 10.0 ** (1 - width) * (3.0 if oversamp < 1.25 else 1.0)
-        self.lamda = max(float(lamda), eps * self.kernel_info["max"])
+        self.lamda_floor = eps * self.kernel_info["max"]
+        if lamda is None:
+            self.lamda = max(1e-3 * self.kernel_info["max"],
+                             self.lamda_floor)
+        else:
+            self.lamda = float(lamda)
+            if self.lamda < self.lamda_floor:
+                import warnings
+                warnings.warn(
+                    f"SenseRecon: lamda={self.lamda:.3g} is below the "
+                    f"gridding-error stability floor "
+                    f"{self.lamda_floor:.3g} (kernel width={width}, "
+                    f"oversamp={oversamp}); CG may converge slowly or "
+                    f"stall on the indefinite part of the Toeplitz "
+                    f"spectrum. Raise lamda, the kernel width, or "
+                    f"oversamp.", stacklevel=2)
 
         n = int(np.prod(self.img_shape))
         # sigma CG basis for the radix-2 Pallas kernels: one reorder per
         # solve instead of per CG iteration (see ops/dft_pallas.py)
         from ..ops.dft_pallas import (
-            uses_sigma_basis, to_sigma_basis, from_sigma_basis)
+            uses_sigma_basis, to_sigma_basis, from_sigma_basis,
+            solver_sigma_axes)
         sig = self._layout == "pallas" and uses_sigma_basis(self.img_shape)
-        sig_ax = tuple(1 + i for i, s in enumerate(self.img_shape)
-                       if s > 128)
+        sig_ax = solver_sigma_axes(self.img_shape)
 
         @cplx.cjit
         def _solve(Tf, maps_p, w, y_sorted):

@@ -102,9 +102,12 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
       * 'tile' — :class:`KBInterp` tile-gather leaf (separable KB weights,
         128-lane grid-tile gathers). The right choice whenever blocked
         tiles would blow up — all 3D gridding matrices in practice.
-      * 'auto' — 'tile' exactly when SpMatrix would have fallen back to
-        element-level storage (the blocked-tile memory estimate exceeds
-        SpMatrix.MAX_TILE_BYTES).
+      * 'auto' — 'tile' for 3D (blocked tiles blow up at ~1% fill on every
+        3D gridding matrix in practice, and the tile path measured 5-30x
+        faster); for 1D/2D a probe-subset blocked-tile memory estimate
+        against SpMatrix.MAX_TILE_BYTES decides. The probe scales its
+        estimate linearly in rows, which can overestimate very tall
+        adjoints — pass ``interp`` explicitly to pin the choice.
 
     Semantics (see noncart module docstring):
         (A x)_i ~= sum_j x[j] exp(-2 pi i k_i . (j - N//2))
@@ -130,15 +133,22 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
 
     chain = []
     if interp == "auto":
-        import scipy.sparse as sp
-        from ..sparse import estimate_jag_bytes
-        # probe the blocked-tile footprint on a sample subset (it scales
-        # linearly in rows for fixed geometry)
-        probe = traj_s[:: max(1, len(traj_s) // 65536)]
-        Gp = interp_mat(probe, grid_shape, width=width, beta=beta)
-        scale = len(traj_s) / max(1, len(probe))
-        est = (estimate_jag_bytes(Gp) + estimate_jag_bytes(Gp.T)) * scale
-        interp = "tile" if est > SpMatrix.MAX_TILE_BYTES else "sparse"
+        if len(img_shape) >= 3:
+            # every 3D gridding matrix lands at ~1% fill where blocked
+            # tiles blow up; the tile-gather path measured 5-30x faster
+            interp = "tile"
+        else:
+            from ..sparse import estimate_jag_bytes
+            # probe the blocked-tile footprint on a sample subset (rough:
+            # the forward term scales ~linearly in rows; the adjoint's
+            # empty-block term does not, so this overestimates very tall
+            # adjoints — acceptable for a 2D-only heuristic)
+            probe = traj_s[:: max(1, len(traj_s) // 65536)]
+            Gp = interp_mat(probe, grid_shape, width=width, beta=beta)
+            scale = len(traj_s) / max(1, len(probe))
+            est = (estimate_jag_bytes(Gp)
+                   + estimate_jag_bytes(Gp.T)) * scale
+            interp = "tile" if est > SpMatrix.MAX_TILE_BYTES else "sparse"
     if interp == "tile":
         from ..ops.tile_interp import plan_tile_interp
         G = KBInterp(plan_tile_interp(traj_s, grid_shape, width=width,

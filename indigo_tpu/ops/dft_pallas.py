@@ -60,8 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .dft_fft import dft_pad2x_mats, block_spectrum
 
 __all__ = ["pallas_spectrum", "toeplitz_apply_pallas",
-           "sense_normal_pallas", "pallas_supported",
-           "uses_sigma_basis", "to_sigma_basis", "from_sigma_basis"]
+           "sense_normal_pallas", "pallas_supported", "uses_sigma_basis",
+           "to_sigma_basis", "from_sigma_basis", "solver_sigma_axes"]
 
 
 def pallas_spectrum(Tf: np.ndarray) -> np.ndarray:
@@ -145,6 +145,13 @@ def uses_sigma_basis(shape) -> bool:
 
 def _sigma_axes(shape):
     return tuple(i for i, s in enumerate(shape) if int(s) > 128)
+
+
+def solver_sigma_axes(img_shape, lead=1):
+    """Sigma (radix) axes of a batched (lead, *img_shape) array — the axes
+    solvers must reorder when holding CG state in the sigma basis. Single
+    source of truth for the radix threshold (see _sigma_axes)."""
+    return tuple(lead + ax for ax in _sigma_axes(img_shape))
 
 
 def to_sigma_basis(a, img_axes):

@@ -34,8 +34,10 @@ import jax.numpy as jnp
 __all__ = ["TileInterpPlan", "plan_tile_interp", "tile_interp_apply",
            "DEFAULT_TILE"]
 
-# 128-node tile shapes per rank (f32 lane width is 128).
-DEFAULT_TILE = {1: (128,), 2: (8, 16), 3: (4, 4, 8)}
+# 128-node tile shapes per rank (f32 lane width is 128) — shared with the
+# trajectory sort / Morton column tiling so plan geometry and sample order
+# can never desynchronize.
+from ..noncart import DEFAULT_TILES as DEFAULT_TILE
 
 
 class TileInterpPlan:
@@ -227,23 +229,37 @@ def untile_grid(plan, xt, K):
             lambda s: _unretile(s, (1,) + plan.nt[1:], T, K, nd,
                                 (T[0],) + E[1:]), xts)
         xe = xe.reshape(*E, K)
-    # fold halos: index e maps to (e - lo) mod G; ext < 2G so at most one
-    # wrap on each side
+    # fold halos: index e maps to (e - lo) mod G
     for d in range(nd):
         g, l = G[d], lo[d]
-        core = jax.lax.slice_in_dim(xe, l, l + g, axis=d)
-        if l:
-            head = jax.lax.slice_in_dim(xe, 0, l, axis=d)
-            pad = [(0, 0)] * core.ndim
-            pad[d] = (g - l, 0)
-            core = core + jnp.pad(head, pad)
         hi = E[d] - g - l
-        if hi:
-            tail = jax.lax.slice_in_dim(xe, l + g, E[d], axis=d)
-            pad = [(0, 0)] * core.ndim
-            pad[d] = (0, g - hi)
-            core = core + jnp.pad(tail, pad)
-        xe = core
+        if l < g and 0 <= hi <= g:
+            # common case: at most one wrap on each side — touch only the
+            # halo rows
+            core = jax.lax.slice_in_dim(xe, l, l + g, axis=d)
+            if l:
+                head = jax.lax.slice_in_dim(xe, 0, l, axis=d)
+                pad = [(0, 0)] * core.ndim
+                pad[d] = (g - l, 0)
+                core = core + jnp.pad(head, pad)
+            if hi:
+                tail = jax.lax.slice_in_dim(xe, l + g, E[d], axis=d)
+                pad = [(0, 0)] * core.ndim
+                pad[d] = (0, g - hi)
+                core = core + jnp.pad(tail, pad)
+            xe = core
+        else:
+            # small grids (ext can exceed 2G, e.g. 1D grids below ~1.5
+            # tiles): exact modular fold — zero-pad to a g-aligned length
+            # with index 0 on a period boundary, then sum the periods
+            p = (g - (l % g)) % g
+            q = (-(E[d] + p)) % g
+            pads = [(0, 0)] * xe.ndim
+            pads[d] = (p, q)
+            xe2 = jnp.pad(xe, pads)
+            sh = xe2.shape
+            k = sh[d] // g
+            xe = xe2.reshape(sh[:d] + (k, g) + sh[d + 1:]).sum(axis=d)
     N = int(np.prod(G))
     return xe.reshape(N, K)
 

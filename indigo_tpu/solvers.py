@@ -186,33 +186,44 @@ def _apgd_core(gradf, proxg, alpha, x0, maxiter, history, tol=0.0,
                objective=None):
     x0 = jnp.asarray(x0)
 
+    track = tol > 0   # static: with tol == 0 no convergence machinery is
+    # traced at all — no step norm, no freeze selects, no done carry use
+
     def body(carry, _):
         x, z, t, k, done = carry
         g = gradf(z)
         xn = proxg(z - alpha * g, alpha)
         tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         zn = xn + ((t - 1.0) / tn).astype(xn.dtype) * (xn - x)
-        delta = jnp.linalg.norm((xn - x).ravel())
-        rel = delta / jnp.maximum(jnp.linalg.norm(xn.ravel()), 1e-30)
-        # tol is static: no convergence branch is traced when tol == 0
-        new_done = done | (rel <= tol) if tol > 0 else done
-        xn, zn, tn = jax.tree.map(
-            lambda new, old: jnp.where(done, old, new),
-            (xn, zn, tn), (x, z, t))
-        k = jnp.where(done, k, k + 1)
-        out = (jnp.where(done, 0.0, delta),)
+        if track or history:
+            delta = jnp.linalg.norm((xn - x).ravel())
+        if track:
+            rel = delta / jnp.maximum(jnp.linalg.norm(xn.ravel()), 1e-30)
+            new_done = done | (rel <= tol)
+            xn, zn, tn = jax.tree.map(
+                lambda new, old: jnp.where(done, old, new),
+                (xn, zn, tn), (x, z, t))
+            k = jnp.where(done, k, k + 1)
+        else:
+            new_done = done
+            k = k + 1
+        out = ()
+        if history:
+            out += (jnp.where(done, 0.0, delta) if track else delta,)
         if objective is not None:
-            out = out + (objective(xn),)
+            out += (objective(xn),)
         return (xn, zn, tn, k, new_done), out
 
     (x, _, _, k, _), outs = lax.scan(
         body, (x0, x0, jnp.float32(1.0), jnp.int32(0), jnp.bool_(False)),
         None, length=maxiter)
     info = {"iters": k}
+    i = 0
     if history:
-        info["deltas"] = outs[0]
-        if objective is not None:
-            info["objs"] = outs[1]
+        info["deltas"] = outs[i]
+        i += 1
+    if history and objective is not None:
+        info["objs"] = outs[i]
     return x, info
 
 

@@ -27,6 +27,9 @@ def traj_with_wrap(m, d, rng):
 @pytest.mark.parametrize("grid,width", [
     ((12, 16, 24), 4), ((24, 32), 4), ((256,), 4),
     ((16, 16, 16), 6), ((20, 48), 6),
+    # 1D grids below ~1.5 tiles: halo extent exceeds 2G, exercising the
+    # multi-wrap modular fold in untile_grid (regression: adjoint crashed)
+    ((128,), 4), ((160,), 4),
 ])
 def test_tile_interp_matches_csr(grid, width, rng):
     d = len(grid)
