@@ -18,11 +18,12 @@ from .recon import (
     sense_normal_batched, batched_cg, sense_batch_recon,
     sense_normal_volsharded, sense_vol_recon,
 )
-from .dist_fft import fftn_sharded
+from .dist_fft import fftn_sharded, fftn_sharded2
 
 __all__ = [
     "make_mesh", "replicated", "shard_along",
     "sense_normal_batched", "batched_cg", "sense_batch_recon",
     "sense_normal_volsharded", "sense_vol_recon",
     "fftn_sharded",
+    "fftn_sharded2",
 ]

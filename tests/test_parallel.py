@@ -13,7 +13,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import indigo_tpu as it
 from indigo_tpu.parallel import (
     make_mesh, sense_normal_batched, batched_cg, sense_batch_recon,
-    fftn_sharded,
+    fftn_sharded, fftn_sharded2,
 )
 from indigo_tpu.toeplitz import toeplitz_kernel, sense_normal_toeplitz
 from indigo_tpu.utils import rand64c, rel_err
@@ -91,6 +91,24 @@ def test_fftn_sharded_matches_fftn(rng):
 
     def run_inv(v):
         return fftn_sharded(v, mesh, axis_name="x", inverse=True)
+
+    out_i = it.cplx.cjit(run_inv)(v)
+    assert rel_err(np.asarray(out_i), np.fft.ifftn(v)) < 1e-5
+
+
+def test_fftn_sharded2_pencil_matches_fftn(rng):
+    # 2-axis (pencil) decomposition over a 4x2 mesh
+    mesh = make_mesh(x=4, y=2)
+    v = rand64c(8, 8, 4, 3, rng=rng)
+
+    def run(v):
+        return fftn_sharded2(v, mesh, axes=("x", "y"))
+
+    out = it.cplx.cjit(run)(v)
+    assert rel_err(np.asarray(out), np.fft.fftn(v)) < 1e-5
+
+    def run_inv(v):
+        return fftn_sharded2(v, mesh, axes=("x", "y"), inverse=True)
 
     out_i = it.cplx.cjit(run_inv)(v)
     assert rel_err(np.asarray(out_i), np.fft.ifftn(v)) < 1e-5
