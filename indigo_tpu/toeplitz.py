@@ -193,6 +193,7 @@ class ToeplitzNormal(Operator):
         self._vol = tuple(int(s) for s in img_shape)
         assert self._T.ndim == len(self._vol)
         self._name = name
+        self._sigma = False
 
     @property
     def img_shape(self):
@@ -219,7 +220,8 @@ class ToeplitzNormal(Operator):
 
             v = jnp.moveaxis(v, -1, 0)          # (K, *vol): batch leading
             v = toeplitz_apply_pallas(
-                self._T, v, interpret=jax.default_backend() == "cpu")
+                self._T, v, interpret=jax.default_backend() == "cpu",
+                sigma=self._sigma)
             v = jnp.moveaxis(v, 0, -1)
         elif self._method == "dft":
             from .ops.dft_fft import toeplitz_apply_block
@@ -240,14 +242,54 @@ class ToeplitzNormal(Operator):
         return (f"{self.name}{list(self._vol)} <{self.shape[0]}x"
                 f"{self.shape[1]}> (2x-grid {list(self._T.shape)})")
 
+    def sigma_basis(self):
+        """(K_sigma, P) with K == P.H * K_sigma * P — the solver-loop form
+        for radix (>128-axis) volumes on the pallas path.
+
+        The fused kernels' image basis is sigma (even|odd block) order on
+        every >128 axis; in the natural basis each apply pays one HBM
+        reorder pass per side (see ops/dft_pallas.py). For iterative
+        solves, conjugate instead: run CG on K_sigma with rhs P*b and map
+        the solution back with P.H — identical convergence (P is a
+        permutation, so K_sigma is as SPD as K), zero per-iteration
+        reorders.
+
+            Ks, P = K.sigma_basis()
+            x, info = cg(Ks, P * b, ...)
+            x = P.H * x
+
+        Returns (self, None) when no axis is radix or the method is not
+        "pallas" (nothing to conjugate).
+        """
+        from .operators import Perm
+        from .ops.dft_pallas import _sigma_axes
+
+        axes = _sigma_axes(self._vol) if self._method == "pallas" else ()
+        if not axes:
+            return self, None
+        idx = np.arange(int(np.prod(self._vol))).reshape(self._vol)
+        for ax in axes:
+            n = self._vol[ax]
+            ev = np.take(idx, np.arange(0, n, 2), axis=ax)
+            od = np.take(idx, np.arange(1, n, 2), axis=ax)
+            idx = np.concatenate([ev, od], axis=ax)
+        ks = ToeplitzNormal.__new__(ToeplitzNormal)
+        ks._T = self._T
+        ks._method = self._method
+        ks._vol = self._vol
+        ks._name = (self._name or "ToeplitzNormal") + "_sigma"
+        ks._sigma = True
+        return ks, Perm(idx.ravel(), name="SigmaBasis")
+
     def tree_flatten(self):
-        return (self._T,), (self._vol, self._name, self._method)
+        return (self._T,), (self._vol, self._name, self._method,
+                            self._sigma)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj._T,) = children
-        obj._vol, obj._name, obj._method = aux
+        obj._vol, obj._name, obj._method, obj._sigma = aux
         return obj
 
 

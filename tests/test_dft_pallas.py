@@ -68,6 +68,25 @@ def test_sigma_basis_contract(rng):
                                     sig_ax)), u)
 
 
+def test_toeplitz_sigma_basis_conjugation(rng):
+    # operator-level solver form: K == P.H * K_sigma * P on radix volumes
+    from indigo_tpu.toeplitz import ToeplitzNormal
+
+    img = (8, 8, 136)
+    Tf = rng.standard_normal(tuple(2 * s for s in img)).astype(np.float32)
+    K = ToeplitzNormal(Tf, img, method="pallas")
+    Ks, P = K.sigma_basis()
+    assert P is not None
+    x = rand64c(int(np.prod(img)), 2, rng=rng)
+    lhs = np.asarray(K * x)
+    rhs = np.asarray(P.H * (Ks * (P * x)))
+    assert rel_err(rhs, lhs) < 1e-5
+    # no-op on non-radix volumes
+    K64 = ToeplitzNormal(Tf[:16, :16, :32], (8, 8, 16), method="pallas")
+    Ks64, P64 = K64.sigma_basis()
+    assert Ks64 is K64 and P64 is None
+
+
 def test_identity_kernel_roundtrip(rng):
     shape = (16, 16, 16)
     u = rand64c(1, *shape, rng=rng)
