@@ -92,6 +92,25 @@ def test_fista_lasso(rng):
     assert obj < 1e-3
 
 
+def test_apgd_no_tol_history(rng):
+    """tol=0 (default hot path, no freeze machinery traced) still supports
+    the history/objective outputs."""
+    n = 16
+    d = jnp.asarray(1.0 + np.arange(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    gradf = lambda x: d * x - b
+    proxg = lambda v, a: v
+    x, info = apgd(gradf, proxg, 1.0 / float(d.max()),
+                   jnp.zeros(n, jnp.float32), maxiter=200, history=True,
+                   objective=lambda x: 0.5 * jnp.vdot(
+                       x, d * x).real - jnp.vdot(b, x).real)
+    assert int(info["iters"]) == 200
+    assert np.allclose(np.asarray(x), np.asarray(b / d), atol=1e-4)
+    assert len(np.asarray(info["deltas"])) == 200
+    objs = np.asarray(info["objs"])
+    assert objs[-1] <= objs[0]
+
+
 def test_apgd_tol_stops_early(rng):
     """Smooth strongly-convex quadratic: apgd with tol freezes early and
     reports iterations actually taken."""
