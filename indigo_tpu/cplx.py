@@ -36,7 +36,7 @@ from jax.tree_util import register_pytree_node_class
 
 __all__ = [
     "CPair", "pack", "unpack", "as_payload", "iscpair", "conj", "to_numpy",
-    "cjit", "supports_complex_buffers", "eager_call",
+    "cjit", "device_put_tree", "supports_complex_buffers", "eager_call",
 ]
 
 
@@ -176,6 +176,17 @@ def _encode(tree):
     return jax.tree_util.tree_map(
         lambda l: pack(l) if _leaf_complex(l) else l, tree,
         is_leaf=iscpair)
+
+
+def device_put_tree(tree):
+    """Upload a pytree (e.g. an operator) ONCE, complex-safely.
+
+    Complex leaves become device-resident CPairs; pass the result as a
+    ``cjit`` argument so large payloads are jit INPUTS rather than traced
+    constants (500MB of embedded constants breaks this sandbox's remote
+    compile service) and are never re-uploaded per call.
+    """
+    return jax.device_put(_encode(tree))
 
 
 def _leaf_complex(l):

@@ -124,30 +124,50 @@ class SenseRecon:
         sig = self._layout == "pallas" and uses_sigma_basis(self.img_shape)
         sig_ax = solver_sigma_axes(self.img_shape)
 
+        # rhs build and CG are SEPARATE compiles, and the gridded operator
+        # rides in as a jit ARGUMENT (device-uploaded once): closed over,
+        # its plan arrays (~0.5GB at 256^3) become traced constants, which
+        # breaks this sandbox's remote compile service (broken pipe) and
+        # would re-embed per recompile. The rhs intermediate stays on
+        # device as a split f32 pair (complex outputs would round-trip the
+        # ~27MB/s tunnel as host numpy).
+        self._A_d = cplx.device_put_tree(self.A)
+
         @cplx.cjit
-        def _solve(Tf, maps_p, w, y_sorted):
-            m = cplx.unpack(maps_p)
-            rhs = self.A.apply(w[:, None] * y_sorted, adjoint=True)
-            rhs = rhs.reshape((1,) + self.img_shape)
+        def _rhs(A, w, y_sorted):
+            r = A.apply(w[:, None] * y_sorted, adjoint=True)
+            r = r.reshape((1,) + self.img_shape)
             if sig:
-                rhs = to_sigma_basis(rhs, sig_ax)
+                r = to_sigma_basis(r, sig_ax)
+            r = r.reshape(1, n)
+            return jnp.real(r).astype(jnp.float32), \
+                jnp.imag(r).astype(jnp.float32)
+
+        @cplx.cjit
+        def _cg(Tf, maps_p, rr, ri):
+            m = cplx.unpack(maps_p)
+            rhs = jax.lax.complex(rr, ri)
             xs, resids = batched_cg(
                 lambda v: sense_normal_batched(
                     Tf, m, v, coil_chunk=self.coil_chunk,
                     layout=self._layout, sigma=sig),
-                rhs.reshape(1, n), lamda=self.lamda, iters=self.iters)
+                rhs, lamda=self.lamda, iters=self.iters)
             xs = xs.reshape((1,) + self.img_shape)
             if sig:
                 xs = from_sigma_basis(xs, sig_ax)
             return xs.reshape(1, n)[0], resids[:, 0]
 
+        def _solve(Tf, maps_p, w, y_sorted):
+            rr, ri = _rhs(self._A_d, w, y_sorted)
+            return _cg(Tf, maps_p, rr, ri)
+
         self._solve = _solve
 
         @cplx.cjit
-        def _forward(x):
-            return self.A.apply(x.reshape(n, 1))[:, 0]
+        def _forward(A, x):
+            return A.apply(x.reshape(n, 1))[:, 0]
 
-        self._forward = _forward
+        self._forward = lambda x: _forward(self._A_d, x)
 
     @property
     def n_samples(self):

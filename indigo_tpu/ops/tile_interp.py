@@ -205,14 +205,19 @@ def tile_grid(plan, x):
 
 
 def _unretile(xt, nt, T, K, nd, E):
-    """(NT, K*128) -> (E..., K): inverse of :func:`_retile`."""
+    """(NT, K*128) -> (K, E...): inverse of :func:`_retile`, K LEADING.
+
+    K rides ahead of the spatial dims through the whole untiling so the
+    minor dim stays a full (>=128) spatial axis: a trailing small K would
+    make TPU pad the lane dim to 128 (8x memory for K=16 — measured OOM
+    at 320^3 serving scale).
+    """
     split = list(nt) + [K] + list(T)
     xe = xt.reshape(*split)
-    inv = []
+    perm = [nd]
     for d in range(nd):
-        inv.extend([d, nd + 1 + d])
-    inv.append(nd)
-    return xe.transpose(inv).reshape(*E, K)
+        perm.extend([d, nd + 1 + d])
+    return xe.transpose(perm).reshape((K,) + tuple(E))
 
 
 def untile_grid(plan, xt, K):
@@ -221,31 +226,33 @@ def untile_grid(plan, xt, K):
     G, E, T, lo = plan.grid_shape, plan.ext, plan.tile, plan.pad_lo
     nd = len(G)
     if xt.size <= _TILE_SLAB_ELEMS or nd == 1:
-        xe = _unretile(xt, plan.nt, T, K, nd, E)
+        xe = _unretile(xt, plan.nt, T, K, nd, E)        # (K, *E)
     else:
         rows = int(np.prod(plan.nt[1:]))
         xts = xt.reshape(plan.nt[0], rows, K * 128)
         xe = jax.lax.map(
             lambda s: _unretile(s, (1,) + plan.nt[1:], T, K, nd,
-                                (T[0],) + E[1:]), xts)
-        xe = xe.reshape(*E, K)
-    # fold halos: index e maps to (e - lo) mod G
+                                (T[0],) + E[1:]), xts)  # (nt0, K, T0, E1..)
+        xe = jnp.moveaxis(xe, 1, 0).reshape((K,) + E)
+    # fold halos: index e maps to (e - lo) mod G (K leads, spatial axis d
+    # lives at d+1)
     for d in range(nd):
         g, l = G[d], lo[d]
+        ax = d + 1
         hi = E[d] - g - l
         if l < g and 0 <= hi <= g:
             # common case: at most one wrap on each side — touch only the
             # halo rows
-            core = jax.lax.slice_in_dim(xe, l, l + g, axis=d)
+            core = jax.lax.slice_in_dim(xe, l, l + g, axis=ax)
             if l:
-                head = jax.lax.slice_in_dim(xe, 0, l, axis=d)
+                head = jax.lax.slice_in_dim(xe, 0, l, axis=ax)
                 pad = [(0, 0)] * core.ndim
-                pad[d] = (g - l, 0)
+                pad[ax] = (g - l, 0)
                 core = core + jnp.pad(head, pad)
             if hi:
-                tail = jax.lax.slice_in_dim(xe, l + g, E[d], axis=d)
+                tail = jax.lax.slice_in_dim(xe, l + g, E[d], axis=ax)
                 pad = [(0, 0)] * core.ndim
-                pad[d] = (0, g - hi)
+                pad[ax] = (0, g - hi)
                 core = core + jnp.pad(tail, pad)
             xe = core
         else:
@@ -255,13 +262,13 @@ def untile_grid(plan, xt, K):
             p = (g - (l % g)) % g
             q = (-(E[d] + p)) % g
             pads = [(0, 0)] * xe.ndim
-            pads[d] = (p, q)
+            pads[ax] = (p, q)
             xe2 = jnp.pad(xe, pads)
             sh = xe2.shape
-            k = sh[d] // g
-            xe = xe2.reshape(sh[:d] + (k, g) + sh[d + 1:]).sum(axis=d)
+            k = sh[ax] // g
+            xe = xe2.reshape(sh[:ax] + (k, g) + sh[ax + 1:]).sum(axis=ax)
     N = int(np.prod(G))
-    return xe.reshape(N, K)
+    return xe.reshape(K, N).T
 
 
 def _lane_weights(plan, wfac):
