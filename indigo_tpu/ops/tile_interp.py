@@ -170,16 +170,20 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None):
 _TILE_SLAB_ELEMS = 1 << 27
 
 
-def _retile(xe, nt, T, K, nd):
-    """(E..., K) -> (NT, K*128): split axes, withins last, flatten."""
-    split = []
+def _retile(xk, nt, T, K, nd):
+    """(K, E...) -> (NT, K*128): split axes, withins last, flatten.
+
+    K LEADING on the input side for the same reason as :func:`_unretile`:
+    a trailing small K would make TPU pad the lane dim to 128 (up to 64x
+    memory for K=2) wherever the extended grid is materialized.
+    """
+    split = [K]
     for d in range(nd):
         split.extend([nt[d], T[d]])
-    xe = xe.reshape(*split, K)
-    perm = (list(range(0, 2 * nd, 2)) + [2 * nd]
-            + list(range(1, 2 * nd, 2)))
-    xe = xe.transpose(perm)
-    return xe.reshape(-1, K * 128)
+    xk = xk.reshape(split)
+    perm = ([1 + 2 * d for d in range(nd)] + [0]
+            + [2 + 2 * d for d in range(nd)])
+    return xk.transpose(perm).reshape(-1, K * 128)
 
 
 def tile_grid(plan, x):
@@ -192,15 +196,16 @@ def tile_grid(plan, x):
     G, E, T, lo = plan.grid_shape, plan.ext, plan.tile, plan.pad_lo
     nd = len(G)
     K = x.shape[1]
-    xe = x.reshape(*G, K)
-    pads = [(lo[d], E[d] - G[d] - lo[d]) for d in range(nd)] + [(0, 0)]
-    xe = jnp.pad(xe, pads, mode="wrap")
-    if xe.size <= _TILE_SLAB_ELEMS or nd == 1:
-        return _retile(xe, plan.nt, T, K, nd)
+    xk = x.T.reshape((K,) + G)
+    pads = [(0, 0)] + [(lo[d], E[d] - G[d] - lo[d]) for d in range(nd)]
+    xk = jnp.pad(xk, pads, mode="wrap")
+    if xk.size <= _TILE_SLAB_ELEMS or nd == 1:
+        return _retile(xk, plan.nt, T, K, nd)
     # big volume: map over leading-axis tile rows to bound the transpose
-    xe = xe.reshape((plan.nt[0], T[0]) + E[1:] + (K,))
+    xk = xk.reshape((K, plan.nt[0], T[0]) + E[1:])
+    xk = jnp.moveaxis(xk, 1, 0)                # (nt0, K, T0, E1, ...)
     out = jax.lax.map(
-        lambda s: _retile(s, (1,) + plan.nt[1:], T, K, nd), xe)
+        lambda s: _retile(s, (1,) + plan.nt[1:], T, K, nd), xk)
     return out.reshape(-1, K * 128)
 
 
