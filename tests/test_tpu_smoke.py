@@ -82,14 +82,18 @@ def test_dft_pallas_compiles_and_matches(rng):
     assert err < 2e-4
 
 
-def test_dft_pallas_radix2_compiles_and_matches(rng):
-    # one >128 axis: the radix-2 stage path (strided VMEM splits + VPU
-    # interleave) must survive Mosaic lowering
+@pytest.mark.parametrize("shape", [
+    (8, 136, 16),    # radix y: fwd_M (kernel A) + inv_M (kernel C)
+    (16, 16, 136),   # radix x: fwd_T (kernel B) + inv_T (kernel C) —
+                     # otherwise TPU-compiled only via the all-radix bench
+])
+def test_dft_pallas_radix2_compiles_and_matches(shape, rng):
+    # >128 axes: the radix-2 stage path (sigma-basis splits/concats) must
+    # survive Mosaic lowering per role pair
     from indigo_tpu.ops.dft_fft import block_spectrum, toeplitz_apply_block
     from indigo_tpu.ops.dft_pallas import pallas_spectrum, \
         toeplitz_apply_pallas
 
-    shape = (8, 136, 16)
     Tf = rng.standard_normal(tuple(2 * s for s in shape)).astype(np.float32)
     ur = rng.standard_normal((2,) + shape).astype(np.float32)
     ui = rng.standard_normal((2,) + shape).astype(np.float32)
