@@ -84,6 +84,18 @@ def apply_cost(op: Operator, ncols: int = 1):
         if type(node).__name__ == "Perm":
             n_ = node.shape[0]
             return 0, (2 * n_ * K) * isz + n_ * 4
+        if type(node).__name__ == "KBInterp":
+            # tile-gather interpolation: each sample reads/accumulates S
+            # super-tile rows of K*128 lanes + its factored weights; the
+            # tiled grid is streamed once per direction
+            plan = node.plan
+            M, S = plan.n_samples, plan.S
+            NT = int(np.prod(plan.nt))
+            gather = M * S * K * 128 * 4
+            flops = 2 * M * S * K * 128
+            bytes_ = (gather + plan.memusage() + NT * K * 128 * 4
+                      + (node.shape[0] + node.shape[1]) * K * isz)
+            return flops, bytes_
         if type(node).__name__ == "ToeplitzNormal":
             big = int(np.prod(node._T.shape))
             n_ = node.shape[0]
