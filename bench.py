@@ -244,30 +244,29 @@ def run_config(n, cpu=False):
     log(f"normal-op applies/sec: {1.0/per_apply:.2f} "
         f"({per_apply*1e3:.1f} ms/apply)")
 
-    # roofline estimate for one CG iteration (stderr only): minimum HBM
-    # traffic of the selected path. Pallas (ops/dft_pallas.py
-    # sense_normal_pallas): per coil-volume, kernel A reads the map +
-    # writes 4V; B reads 4V + spectrum, writes 4V; C reads 4V + the map,
-    # accumulates 1/nc V — 18V, coil multiply/combine fused in. The
-    # spectrum is re-read once per coil chunk. jnp matmul-DFT
-    # (ops/dft_fft.py): per axis read V write 2V growing 1->8V forward and
-    # mirrored back, kernel multiply fused, coil ops in XLA.
+    # roofline for one CG iteration (stderr only): the traffic model lives
+    # in ONE place — profiling.toeplitz_cg_iter_bytes — and the model
+    # bandwidth constant is calibrated against a measured copy pass.
+    from indigo_tpu.profiling import (
+        HBM_BYTES_PER_SEC, toeplitz_cg_iter_bytes, measure_hbm_bandwidth)
+
     nc = maps.shape[0]
-    nchunks = max(1, nc // coil_chunk) if coil_chunk else 1
-    big = int(np.prod(Tf.shape))
-    npx = int(np.prod(img_shape))
-    cplx_b = 8
-    vols = 18 if layout == "pallas" else 42
-    fft_bytes = vols * npx * nc * cplx_b + big * 4 * nchunks
-    other = ((0 if layout == "pallas" else 4 * npx * nc)
-             + 6 * npx) * cplx_b
-    bytes_per_iter = fft_bytes + other
-    hbm = 819e9  # v5e HBM bandwidth
-    sol = hbm / bytes_per_iter
+    bytes_per_iter = toeplitz_cg_iter_bytes(img_shape, nc, layout,
+                                            coil_chunk)
+    sol = HBM_BYTES_PER_SEC / bytes_per_iter
+    try:
+        hbm_meas = measure_hbm_bandwidth()
+    except Exception as e:  # pragma: no cover
+        log(f"bandwidth measurement failed: {e}")
+        hbm_meas = None
+    sol_meas = (hbm_meas / bytes_per_iter) if hbm_meas else None
+    meas_txt = (f", measured SoL ~{sol_meas:.1f}/s at "
+                f"{hbm_meas/1e9:.0f}GB/s" if sol_meas else "")
     log(f"device={jax.devices()[0].platform} first={t_first:.2f}s "
         f"warm={t_warm:.3f}s iters/sec={ips:.2f} "
-        f"(speed-of-light ~{sol:.1f}/s at 819GB/s, "
-        f"{100*ips/sol:.0f}% of roofline)")
+        f"(model speed-of-light ~{sol:.1f}/s at "
+        f"{HBM_BYTES_PER_SEC/1e9:.0f}GB/s, {100*ips/sol:.0f}% of "
+        f"roofline{meas_txt})")
     return {"ips": ips, "per_apply": per_apply, "roofline_frac": ips / sol}
 
 

@@ -131,6 +131,9 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None):
         n_d = (t - 1 + width - 1) // t + 1
         ntd = -(-hi_need // t)
         ntd = max(ntd, (int(basep.max()) // t) + n_d)  # super-tile in range
+        # trajectories that never reach the top of an axis would otherwise
+        # yield ext < G + lo, making tile_grid's wrap-pad width negative
+        ntd = max(ntd, -(-(G[d] + lo) // t))
         e = ntd * t
         tb = basep // t                          # first tile of super-tile
         off_in = basep - tb * t                  # patch offset inside it

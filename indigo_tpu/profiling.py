@@ -22,10 +22,70 @@ from . import cplx
 from .analyses import apply_cost
 from .operators import Operator
 
-__all__ = ["trace", "time_apply", "roofline_report", "HBM_BYTES_PER_SEC"]
+__all__ = ["trace", "time_apply", "roofline_report", "HBM_BYTES_PER_SEC",
+           "toeplitz_cg_iter_bytes", "measure_hbm_bandwidth"]
 
-# v5e HBM bandwidth (bytes/sec); override for other parts.
+# v5e HBM bandwidth (bytes/sec); override for other parts. This is the
+# MODEL speed-of-light; ``measure_hbm_bandwidth`` provides the measured
+# (achievable) figure on the current device — bench.py prints both.
 HBM_BYTES_PER_SEC = 819e9
+
+
+def toeplitz_cg_iter_bytes(img_shape, nc, layout, coil_chunk=None):
+    """Minimum HBM traffic (bytes) of ONE Toeplitz-SENSE CG iteration.
+
+    Single source of the roofline denominator used by bench.py and the
+    docs. Traffic model per coil-volume V (= prod(img_shape) complex64):
+
+    * ``pallas`` (ops/dft_pallas.py, coil handling fused in): kernel A
+      reads the map + writes 4V; B reads 4V + the spectrum, writes 4V;
+      C reads 4V + the map, accumulates 1/nc V — 18V total, with the
+      doubled-grid spectrum re-read once per coil chunk.
+    * matmul-DFT (``block``) / fft layouts: per axis read V write 2V
+      growing 1→8V forward and mirrored back (42V), plus the unfused
+      coil multiply/combine (4V per coil).
+
+    Both add the CG vector updates (6 image-size passes: Ap read/write,
+    x/r/p updates).
+    """
+    npx = int(np.prod(img_shape))
+    big = int(np.prod([2 * s for s in img_shape]))
+    nchunks = max(1, nc // coil_chunk) if coil_chunk else 1
+    cplx_b = 8
+    vols = 18 if layout == "pallas" else 42
+    fft_bytes = vols * npx * nc * cplx_b + big * 4 * nchunks
+    other = ((0 if layout == "pallas" else 4 * npx * nc) + 6 * npx) * cplx_b
+    return fft_bytes + other
+
+
+def measure_hbm_bandwidth(nbytes=1 << 29, k1=4, k2=12):
+    """Measured achievable HBM copy bandwidth (bytes/sec) on the current
+    default device: an iterated x = x + 1 pass (read V + write V per step)
+    timed by iteration differencing (transfer/fetch latency cancels)."""
+    n = nbytes // 4
+
+    def build(k):
+        @jax.jit
+        def f(x):
+            def step(c, _):
+                return c + jnp.float32(1), None
+            c, _ = lax.scan(step, x, None, length=k)
+            return c[0]
+        return f
+
+    x = jnp.zeros((n,), jnp.float32)
+    f1, f2 = build(k1), build(k2)
+
+    def run(f):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        return time.perf_counter() - t0
+
+    run(f1)
+    run(f2)  # compile + warm
+    ds = [run(f2) - run(f1) for _ in range(3)]
+    per_pass = max(float(np.median(ds)) / (k2 - k1), 1e-9)
+    return 2.0 * n * 4 / per_pass
 
 
 @contextlib.contextmanager

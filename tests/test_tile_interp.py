@@ -51,6 +51,24 @@ def test_tile_interp_matches_csr(grid, width, rng):
     assert rel_err(adj_c, adj) < 1e-6
 
 
+def test_tile_interp_partial_coverage(rng):
+    """Trajectory confined to the lower half of one axis: the halo-extended
+    extent must still cover grid + low halo (regression: negative wrap-pad
+    width crashed the forward apply)."""
+    grid = (12, 16, 24)
+    traj = traj_with_wrap(200, 3, rng)
+    traj[:, 2] = -0.5 + 0.45 * rng.random(200)   # z stays in lower half
+    beta = noncart.beatty_beta(4, 1.5)
+    A = noncart.interp_mat(traj, grid, width=4, beta=beta, impl="numpy")
+    plan = plan_tile_interp(traj, grid, width=4, beta=beta)
+    N = int(np.prod(grid))
+    x = rand64c(N, 2, rng=rng)
+    y = rand64c(200, 2, rng=rng)
+    assert rel_err(np.asarray(tile_interp_apply(plan, x)), A @ x) < 1e-5
+    assert rel_err(np.asarray(tile_interp_apply(plan, y, adjoint=True)),
+                   A.conj().T @ y) < 1e-5
+
+
 def test_kbinterp_operator_adjoint_identity(rng):
     grid = (10, 12, 16)
     traj = traj_with_wrap(200, 3, rng)

@@ -5,6 +5,7 @@ Usage: python tools/kern_micro.py [A|B|C|all] [n] [B]
 differencing cancels the tunnel's fetch cost (block_until_ready does not
 synchronize in this sandbox). Uses the repo's persistent compile cache.
 """
+import os
 import sys
 import time
 
@@ -12,7 +13,8 @@ import numpy as np
 import jax
 
 jax.config.update("jax_compilation_cache_dir",
-                  __file__.rsplit("/", 2)[0] + "/.jax_cache")
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp
