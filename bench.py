@@ -6,17 +6,22 @@ Prints ONE JSON line per benched config; the LAST line is the headline
 
 The metric is CG iterations/sec using the Toeplitz-embedded normal operator
 — the production CG path (each iteration = one doubled-grid batched FFT
-round-trip + coil combine; no host syncs). The default run also measures
-the full BASELINE config-3 size (256^3, 1M samples, coil-chunked) and
-emits its JSON line first.
+round-trip + coil combine; no host syncs). The default run also emits, in
+order BEFORE the headline line:
+  * the gridded/SpMM hot-path lanes (SURVEY.md §2 checklist rows 1-2):
+    2D radial 8-coil gridded CG (jag Pallas SpMM in the loop) and the 3D
+    tile-gather interpolation forward/adjoint apply rate;
+  * the full BASELINE config-3 size (256^3, 1M samples, coil-chunked).
 
-vs_baseline compares against the committed CPU reference measurement
-(bench_cpu.json, generated with `python bench.py --cpu`), mirroring the
+vs_baseline compares against the committed CPU reference measurements
+(bench_cpu.json, generated with `python bench.py --cpu` and
+`python bench.py --cpu --huge` for the 256^3 entry), mirroring the
 reference's "numpy backend is the baseline" convention (SURVEY.md §6).
 Detailed stage timings and a roofline estimate go to stderr.
 
 Flags: --small (64^3 only), --huge (256^3 only), --cpu (write the CPU
-baseline), --sharded (also run 256^3 volume-sharded over all devices).
+baseline; combine with --huge for the 256^3 entry), --sharded (also run
+256^3 volume-sharded over all devices).
 """
 import json
 import os
@@ -30,9 +35,9 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def build_problem(n=128, nc=8, nspokes=2048, nread=128, seed=0):
+def kooshball_traj(nspokes, nread, seed=0):
+    """3D kooshball-ish radial trajectory (M, 3)."""
     rng = np.random.default_rng(seed)
-    # 3D kooshball-ish radial trajectory
     u = rng.random(nspokes)
     v = rng.random(nspokes)
     th = np.arccos(2 * u - 1)
@@ -41,7 +46,12 @@ def build_problem(n=128, nc=8, nspokes=2048, nread=128, seed=0):
                      np.sin(th) * np.sin(ph),
                      np.cos(th)], axis=1)
     r = (np.arange(nread) - nread // 2) / nread
-    traj = (dirs[:, None, :] * r[None, :, None]).reshape(-1, 3)
+    return (dirs[:, None, :] * r[None, :, None]).reshape(-1, 3)
+
+
+def build_problem(n=128, nc=8, nspokes=2048, nread=128, seed=0):
+    rng = np.random.default_rng(seed)
+    traj = kooshball_traj(nspokes, nread, seed=seed)
 
     img_shape = (n, n, n)
     zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) / n
@@ -175,7 +185,8 @@ def run_config(n, cpu=False):
             return jnp.linalg.norm(v.real)
         return apply_k
 
-    k1, k2 = (2, 4) if cpu else (5, 10)
+    # CPU baselines need only a rate: at 256^3 one iteration is minutes
+    k1, k2 = ((1, 2) if n >= 256 else (2, 4)) if cpu else (5, 10)
     s1, s2 = make_solver(k1), make_solver(k2)
 
     def timed(f):
@@ -204,7 +215,8 @@ def run_config(n, cpu=False):
             med = max(float(np.mean(ds)), 1e-9)
         return med / (kb - ka), nrm
 
-    per_iter, nrm = iter_estimate(k1, k2, s1, s2, npairs=3)
+    per_iter, nrm = iter_estimate(k1, k2, s1, s2,
+                                  npairs=1 if cpu else 3)
     assert np.isfinite(nrm), "non-finite reconstruction"
     # adapt the span so the measured difference is >= ~0.5 s of device
     # work: at 128^3 a 5-iter span is ~30 ms, far below the tunnel's
@@ -233,7 +245,7 @@ def run_config(n, cpu=False):
     timed_a(a1)
     timed_a(a2)
     adiffs = []
-    for _ in range(5):
+    for _ in range(1 if cpu else 5):
         u1 = timed_a(a1)
         u2 = timed_a(a2)
         adiffs.append(u2 - u1)
@@ -268,6 +280,162 @@ def run_config(n, cpu=False):
         f"{HBM_BYTES_PER_SEC/1e9:.0f}GB/s, {100*ips/sol:.0f}% of "
         f"roofline{meas_txt})")
     return {"ips": ips, "per_apply": per_apply, "roofline_frac": ips / sol}
+
+
+def diff_timed(make_fn, args, k1, k2, npairs=3, min_span=0.5, max_k=2000):
+    """Median (t(k2)-t(k1))/(k2-k1) with adaptive span widening.
+
+    ``make_fn(k)`` returns a compiled callable of ``args`` whose result is
+    fetched (np.asarray) to synchronize. The span k2-k1 is widened until it
+    covers >= min_span seconds of device work so the ~ms tunnel fetch
+    jitter can't flatter the estimate (see BASELINE.md caveats).
+    """
+    def timed(f):
+        t0 = time.time()
+        np.asarray(f(*args))
+        return time.time() - t0
+
+    def estimate(ka, kb, n):
+        fa, fb = make_fn(ka), make_fn(kb)
+        timed(fa)
+        timed(fb)  # compile + warm
+        ds = []
+        for _ in range(n):
+            ta = timed(fa)
+            tb = timed(fb)
+            ds.append(tb - ta)
+        med = float(np.median(ds))
+        if med <= 0:
+            med = max(float(np.mean(ds)), 1e-9)
+        return med / (kb - ka)
+
+    per = estimate(k1, k2, npairs)
+    span = min(max(int(np.ceil(min_span / max(per, 1e-9))), k2 - k1),
+               max_k)
+    if span > (k2 - k1) and per * (k2 - k1) < 0.6 * min_span:
+        per = estimate(k2, k2 + span, npairs)
+    return per
+
+
+def run_gridded_2d(n=128, nc=8, cpu=False):
+    """2D radial 8-coil gridded CG — the SpMM hot path IN the solver loop
+    (SURVEY.md §2 checklist rows 1-2: jag/blocked-ELL Pallas SpMM on TPU).
+    Unlike the Toeplitz lanes, every CG iteration here applies the actual
+    gridding matrix twice (A^H A), plus the oversampled-grid FFTs."""
+    import jax
+    import jax.numpy as jnp
+    from indigo_tpu import cplx, solvers
+    from indigo_tpu.analyses import apply_cost
+    from indigo_tpu.models import sense_nufft_op
+    from indigo_tpu.profiling import HBM_BYTES_PER_SEC
+
+    rng = np.random.default_rng(1)
+    nspokes = int(1.5 * n)
+    ang = np.pi * np.arange(nspokes) / nspokes
+    r = (np.arange(2 * n) - n) / (2 * n)
+    traj = np.stack([np.outer(np.cos(ang), r).ravel(),
+                     np.outer(np.sin(ang), r).ravel()], axis=1)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float32) / n
+    maps = np.asarray([
+        (0.4 + np.exp(-(((xx - a) ** 2 + (yy - b) ** 2) * 3)))
+        * np.exp(2j * np.pi * (a * xx + b * yy))
+        for a, b in rng.random((nc, 2))], dtype=np.complex64)
+
+    A, plan = sense_nufft_op(traj, maps, oversamp=1.5, width=4)
+    AHA = A.H * A
+    log(f"gridded 2D: n={n} coils={nc} samples={plan.n_samples} "
+        f"grid={plan.grid_shape} leaf={type(A).__name__}")
+    rhs = (rng.standard_normal((n * n, 1), dtype=np.float32)
+           + 1j * rng.standard_normal((n * n, 1), dtype=np.float32)
+           ).astype(np.complex64)
+    A_d = cplx.device_put_tree(AHA)
+    rhs_d = jax.device_put(cplx.pack(rhs))
+    lam = 1e-1
+
+    def make(k):
+        @cplx.cjit
+        def f(Aop, b):
+            x, _ = solvers.cg(Aop, b, lamda=lam, tol=0.0, maxiter=k,
+                              history=True)
+            return jnp.linalg.norm(jnp.real(x))
+        return f
+
+    k1, k2 = (1, 2) if cpu else (5, 15)
+    per_iter = diff_timed(make, (A_d, rhs_d), k1, k2,
+                          npairs=1 if cpu else 3,
+                          min_span=0.0 if cpu else 0.5)
+    ips = 1.0 / per_iter
+    # roofline: 2 gridded-operator applies (A^H A via one normal apply
+    # counted by apply_cost on the product tree) + 6 CG vector passes
+    _, bytes_apply = apply_cost(AHA, 1)
+    bytes_per_iter = bytes_apply + 6 * n * n * 8
+    sol = HBM_BYTES_PER_SEC / bytes_per_iter
+    log(f"gridded 2D CG: {ips:.1f} iters/sec "
+        f"(SoL ~{sol:.0f}/s, {100*ips/sol:.0f}% of roofline)")
+    return {"ips": ips, "roofline_frac": ips / sol}
+
+
+def run_tile_3d(n=128, cpu=False):
+    """3D tile-gather KB interpolation applies/sec (the gridded forward/
+    adjoint that serves rhs builds + simulation; ops/tile_interp.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from indigo_tpu import noncart
+    from indigo_tpu.ops.tile_interp import plan_tile_interp, \
+        tile_interp_apply
+    from indigo_tpu.profiling import HBM_BYTES_PER_SEC
+
+    traj = kooshball_traj(16 * n, n)
+    grid = tuple(int(2 * round(s * 1.25 / 2)) for s in (n, n, n))
+    perm = noncart.sort_trajectory(traj, grid,
+                                   tile=noncart.DEFAULT_TILES[3])
+    plan = plan_tile_interp(traj[perm], grid, width=4)
+    M = plan.n_samples
+    N = int(np.prod(grid))
+    log(f"tile 3D: grid={grid} samples={M} S={plan.S}")
+    rng = np.random.default_rng(2)
+    xr = jax.device_put(jnp.asarray(
+        rng.standard_normal((N, 1), dtype=np.float32)))
+    xi = jax.device_put(jnp.asarray(
+        rng.standard_normal((N, 1), dtype=np.float32)))
+    yr = jax.device_put(jnp.asarray(
+        rng.standard_normal((M, 1), dtype=np.float32)))
+    yi = jax.device_put(jnp.asarray(
+        rng.standard_normal((M, 1), dtype=np.float32)))
+    plan_d = jax.device_put(plan)
+
+    def make_dir(adjoint):
+        def make(k):
+            @jax.jit
+            def f(p, ar, ai):
+                def step(s, _):
+                    v = lax.complex(ar * (1 + 1e-37 * s), ai)
+                    out = tile_interp_apply(p, v, adjoint=adjoint)
+                    return jnp.sum(jnp.real(out)) * 1e-30, None
+
+                s, _ = lax.scan(step, jnp.float32(0), None, length=k)
+                return s
+            return f
+        return make
+
+    k1, k2 = (1, 2) if cpu else (2, 6)
+    per_f = diff_timed(make_dir(False), (plan_d, xr, xi), k1, k2,
+                       npairs=1 if cpu else 3,
+                       min_span=0.0 if cpu else 0.5)
+    per_a = diff_timed(make_dir(True), (plan_d, yr, yi), k1, k2,
+                       npairs=1 if cpu else 3,
+                       min_span=0.0 if cpu else 0.5)
+    # roofline: the gather/scatter stream (S super-tile rows of K*128
+    # lanes per sample, K=2 for complex) + the tiled grid + plan arrays
+    NT = int(np.prod(plan.nt))
+    stream = M * plan.S * 2 * 128 * 4 + NT * 2 * 128 * 4 + plan.memusage()
+    sol_f = HBM_BYTES_PER_SEC / stream
+    log(f"tile 3D applies/sec: fwd {1/per_f:.1f} ({per_f*1e3:.1f} ms, "
+        f"{100/(per_f*sol_f):.0f}% of gather-stream roofline), "
+        f"adj {1/per_a:.1f} ({per_a*1e3:.1f} ms)")
+    return {"fwd": 1.0 / per_f, "adj": 1.0 / per_a,
+            "fwd_roofline_frac": 1.0 / (per_f * sol_f)}
 
 
 def run_sharded_256(iters=10):
@@ -318,32 +486,60 @@ def main():
 
     base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_cpu.json")
-    if cpu:
-        r = run_config(128, cpu=True)
-        with open(base_file, "w") as f:
-            json.dump({"metric": "cg_iters_per_sec_3d_sense",
-                       "value": r["ips"], "n": 128}, f)
-        log(f"wrote CPU baseline {r['ips']:.3f} iters/sec")
-        emit("cg_iters_per_sec_3d_sense_cpu", r["ips"], vs=1.0)
-        return
-
-    base = None
+    base = {}
     if os.path.exists(base_file):
         with open(base_file) as f:
             base = json.load(f)
+    # legacy single-value format -> per-config dict
+    cfgs = base.setdefault("configs", {})
+    if base.get("n") == 128 and base.get("value") and \
+            "toeplitz_128" not in cfgs:
+        cfgs["toeplitz_128"] = base["value"]
+
+    if cpu:
+        if huge:
+            r = run_config(256, cpu=True)
+            cfgs["toeplitz_256"] = r["ips"]
+        else:
+            r = run_config(128, cpu=True)
+            cfgs["toeplitz_128"] = r["ips"]
+            base.update({"metric": "cg_iters_per_sec_3d_sense",
+                         "value": r["ips"], "n": 128})
+            cfgs["gridded2d_128"] = run_gridded_2d(cpu=True)["ips"]
+            t = run_tile_3d(cpu=True)
+            cfgs["tile3d_128_fwd"] = t["fwd"]
+        with open(base_file, "w") as f:
+            json.dump(base, f, indent=1)
+        log(f"wrote CPU baselines: { {k: round(v, 4) for k, v in cfgs.items()} }")
+        emit("cg_iters_per_sec_3d_sense_cpu", r["ips"], vs=1.0)
+        return
+
+    def vs(key, val):
+        return (val / cfgs[key]) if cfgs.get(key) else None
 
     if sharded and len(jax.devices()) > 1:
         r = run_sharded_256()
         emit("cg_iters_per_sec_3d_sense_256c8_sharded", r["ips"],
              n_devices=len(jax.devices()))
 
+    if not (small or huge):
+        # the gridded/SpMM hot-path lanes (SURVEY.md §2 rows 1-2) come
+        # first; the LAST line stays the cross-round headline
+        g = run_gridded_2d()
+        emit("gridded_cg_iters_per_sec_2d_radial_128c8", g["ips"],
+             vs=vs("gridded2d_128", g["ips"]),
+             roofline_pct=round(100 * g["roofline_frac"], 1))
+        t = run_tile_3d()
+        emit("tile_gather_fwd_applies_per_sec_3d_128", t["fwd"],
+             vs=vs("tile3d_128_fwd", t["fwd"]), unit="applies/sec",
+             adj_applies_per_sec=round(t["adj"], 3),
+             roofline_pct=round(100 * t["fwd_roofline_frac"], 1))
+
     configs = [64] if small else ([256] if huge else [256, 128])
     for n in configs:
         r = run_config(n)
-        vs = None
-        if base and base.get("n") == n and base.get("value"):
-            vs = r["ips"] / base["value"]
-        emit(f"cg_iters_per_sec_3d_sense_{n}c8", r["ips"], vs=vs,
+        emit(f"cg_iters_per_sec_3d_sense_{n}c8", r["ips"],
+             vs=vs(f"toeplitz_{n}", r["ips"]),
              normal_op_applies_per_sec=round(1.0 / r["per_apply"], 3))
 
 

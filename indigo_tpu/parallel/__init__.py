@@ -17,6 +17,7 @@ from .mesh import make_mesh, replicated, shard_along
 from .recon import (
     sense_normal_batched, batched_cg, sense_batch_recon,
     sense_normal_volsharded, sense_vol_recon,
+    sense_normal_volsharded2, sense_vol_recon2,
 )
 from .dist_fft import fftn_sharded, fftn_sharded2
 
@@ -24,6 +25,7 @@ __all__ = [
     "make_mesh", "replicated", "shard_along",
     "sense_normal_batched", "batched_cg", "sense_batch_recon",
     "sense_normal_volsharded", "sense_vol_recon",
+    "sense_normal_volsharded2", "sense_vol_recon2",
     "fftn_sharded",
     "fftn_sharded2",
 ]

@@ -22,6 +22,7 @@ from .. import cplx
 __all__ = [
     "sense_normal_batched", "batched_cg", "sense_batch_recon",
     "sense_normal_volsharded", "sense_vol_recon",
+    "sense_normal_volsharded2", "sense_vol_recon2",
 ]
 
 
@@ -111,16 +112,29 @@ def sense_normal_batched(Tf, maps, xs, coil_chunk=None, layout="raw",
     return out.reshape(S, -1).astype(xs.dtype)
 
 
-def batched_cg(matvec, rhs, lamda=0.0, iters=20, psum_axis=None):
-    """Fixed-iteration CG with per-slice (leading-axis) inner products.
+def batched_cg(matvec, rhs, lamda=0.0, iters=20, psum_axis=None, tol=0.0,
+               precond=None, return_iters=False):
+    """Per-slice CG with (leading-axis) inner products, optional tol stop
+    and preconditioning.
 
     rhs (S, n): solves (M + lamda I) x_s = rhs_s for every slice jointly in
     one lax.scan — the whole multi-slice solve is a single XLA program.
-    Returns (xs, resids) with resids (iters, S).
+    Returns (xs, resids) with resids (iters, S); with ``return_iters=True``
+    additionally the per-slice iteration counts (S,) int32.
 
-    ``psum_axis``: when the feature dimension itself is sharded (volume/
-    tensor parallelism inside shard_map), inner products must reduce across
-    shards — pass the mesh axis name.
+    ``tol`` > 0 adds the on-device freeze-after-converge pattern (the same
+    one as :func:`indigo_tpu.solvers.cg`'s history path): once a slice's
+    relative residual drops below tol its state is frozen for the remaining
+    scan steps, so the solve costs maxiter trips through the scan but each
+    converged slice stops changing (and ``iters`` reports the count
+    actually taken). tol == 0 (default) traces no convergence machinery.
+
+    ``precond``: callable z = M^{-1}(r) applied per iteration (Jacobi et
+    al.); must be positive definite. ``psum_axis``: when the feature
+    dimension itself is sharded (volume/tensor parallelism inside
+    shard_map), inner products must reduce across shards — pass the mesh
+    axis name (the done mask is then identical on every shard, keeping the
+    frozen state consistent).
     """
     def mv(v):
         out = matvec(v)
@@ -128,30 +142,58 @@ def batched_cg(matvec, rhs, lamda=0.0, iters=20, psum_axis=None):
             out = out + lamda * v
         return out
 
+    applyM = precond if precond is not None else (lambda r: r)
+
     def pdot(a, b):  # per-slice real inner product -> (S, 1)
         d = jnp.sum(jnp.real(jnp.conj(a) * b), axis=-1, keepdims=True)
         if psum_axis is not None:
             d = jax.lax.psum(d, psum_axis)
         return d
 
+    track = tol > 0  # static
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
+    z0 = applyM(r0)
+    rz0 = pdot(r0, z0)
     rs0 = pdot(r0, r0)
+    bnorm = jnp.sqrt(rs0)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
 
-    def body(carry, _):
-        x, r, p, rs = carry
+    def step(x, r, p, rz):
         Ap = mv(p)
         denom = pdot(p, Ap)
-        alpha = rs / jnp.maximum(denom, 1e-30)
+        alpha = rz / jnp.maximum(denom, 1e-30)
         x = x + alpha.astype(x.dtype) * p
         r = r - alpha.astype(r.dtype) * Ap
-        rs_n = pdot(r, r)
-        beta = rs_n / jnp.maximum(rs, 1e-30)
-        p = r + beta.astype(p.dtype) * p
-        return (x, r, p, rs_n), jnp.sqrt(rs_n[:, 0])
+        z = applyM(r)
+        rz_n = pdot(r, z)
+        beta = rz_n / jnp.maximum(rz, 1e-30)
+        p = z + beta.astype(p.dtype) * p
+        return x, r, p, rz_n, pdot(r, r)
 
-    (x, r, p, rs), resids = lax.scan(
-        body, (x0, r0, r0, rs0), None, length=iters)
+    def body(carry, _):
+        x, r, p, rz, rs, k, done = carry
+        if track:
+            xn, rn, pn, rzn, rsn = step(x, r, p, rz)
+            new_done = done | (jnp.sqrt(rsn) <= tol * bnorm)
+            x, r, p, rz, rs = jax.tree.map(
+                lambda new, old: jnp.where(done, old, new),
+                (xn, rn, pn, rzn, rsn), (x, r, p, rz, rs))
+            k = jnp.where(done[:, 0], k, k + 1)
+        else:
+            x, r, p, rz, rs = step(x, r, p, rz)
+            new_done = done
+            k = k + 1
+        return (x, r, p, rz, rs, k, new_done), jnp.sqrt(rs[:, 0])
+
+    S = rhs.shape[0]
+    done0 = (jnp.sqrt(rs0) <= tol * bnorm) if track \
+        else jnp.zeros((S, 1), bool)
+    (x, r, p, rz, rs, k, _), resids = lax.scan(
+        body, (x0, r0, z0, rz0, rs0, jnp.zeros((S,), jnp.int32), done0),
+        None, length=iters)
+    if return_iters:
+        return x, resids, k
     return x, resids
 
 
@@ -253,6 +295,107 @@ def sense_normal_volsharded(Tf_l, maps_l, v_l, axis_name="vol"):
     else:
         out = out0
     return out
+
+
+def sense_normal_volsharded2(Tf_l, maps_l, v_l, axes=("vz", "vy")):
+    """Toeplitz SENSE normal op for ONE volume PENCIL-sharded over two mesh
+    axes — scales a single volume past p <= Nz chips (the slab form's
+    limit; SURVEY.md §5 long-context row).
+
+    Call INSIDE shard_map over mesh axes (a, b) = ``axes`` with specs:
+      Tf_l   (2Nz, 2Ny/p, 2Nx/q)   <- P(None, a, b)
+      maps_l (nc, Nz/p, Ny/q, Nx)  <- P(None, a, b, None)
+      v_l    (Nz/p, Ny/q, Nx)      <- P(a, b, None)
+
+    Per coil: multiply map; zero-aware padded FFT over the LOCAL x axis;
+    all_to_all over ``b`` (2Nx splits, Y gathers); padded FFT over y;
+    all_to_all over ``a`` (2Ny splits, Z gathers); padded FFT over z;
+    multiply the Tf pencil; mirrored inverse. Communication = four
+    all_to_alls per direction per coil, all riding ICI — the pencil
+    decomposition of the distributed-NUFFT pattern (PAPERS.md)
+    specialized to the Toeplitz round trip.
+    """
+    from ..ops.toeplitz_fft import fft_pad2x, ifft_crop2x
+
+    a, b = axes
+    nc = maps_l.shape[0]
+
+    def per_coil(acc, m):
+        u = m * v_l                                   # (Nz/p, Ny/q, Nx)
+        u = fft_pad2x(u, (2,))                        # (Nz/p, Ny/q, 2Nx)
+        u = jax.lax.all_to_all(u, b, split_axis=2, concat_axis=1,
+                               tiled=True)            # (Nz/p, Ny, 2Nx/q)
+        u = fft_pad2x(u, (1,))                        # (Nz/p, 2Ny, 2Nx/q)
+        u = jax.lax.all_to_all(u, a, split_axis=1, concat_axis=0,
+                               tiled=True)            # (Nz, 2Ny/p, 2Nx/q)
+        u = fft_pad2x(u, (0,))                        # (2Nz, 2Ny/p, 2Nx/q)
+        u = Tf_l * u
+        u = ifft_crop2x(u, (0,))                      # (Nz, 2Ny/p, 2Nx/q)
+        u = jax.lax.all_to_all(u, a, split_axis=0, concat_axis=1,
+                               tiled=True)            # (Nz/p, 2Ny, 2Nx/q)
+        u = ifft_crop2x(u, (1,))                      # (Nz/p, Ny, 2Nx/q)
+        u = jax.lax.all_to_all(u, b, split_axis=1, concat_axis=2,
+                               tiled=True)            # (Nz/p, Ny/q, 2Nx)
+        u = ifft_crop2x(u, (2,))                      # (Nz/p, Ny/q, Nx)
+        return acc + jnp.conj(m) * u, None
+
+    out0, _ = per_coil(jnp.zeros_like(v_l), maps_l[0])
+    if nc > 1:
+        out, _ = lax.scan(per_coil, out0, maps_l[1:])
+    else:
+        out = out0
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _vol_recon2_fn(mesh, axes, lamda, iters):
+    from jax import shard_map
+
+    a, b = axes
+
+    def block(Tf_l, maps_l, rhs_l):
+        def mv(v):
+            out = sense_normal_volsharded2(
+                Tf_l, maps_l, v.reshape(maps_l.shape[1:]), axes)
+            return out.reshape(1, -1)
+
+        xs, resids = batched_cg(mv, rhs_l.reshape(1, -1), lamda=lamda,
+                                iters=iters, psum_axis=(a, b))
+        return xs.reshape(maps_l.shape[1:]), resids[:, 0]
+
+    def run(Tf, maps, rhs):
+        return shard_map(
+            block, mesh=mesh,
+            in_specs=(P(None, a, b),          # Tf: pencil on (y, x)
+                      P(None, a, b, None),    # maps: pencil on (z, y)
+                      P(a, b, None)),         # volume: pencil on (z, y)
+            out_specs=(P(a, b, None), P()),
+        )(Tf, maps, rhs)
+
+    return cplx.cjit(run)
+
+
+def sense_vol_recon2(Tf, maps, rhs, mesh, axes=("vz", "vy"), lamda=0.0,
+                     iters=20):
+    """CG-SENSE for ONE 3D volume pencil-sharded over TWO mesh axes.
+
+    Same contract as :func:`sense_vol_recon` but the volume is sharded
+    (z over ``axes[0]`` size p, y over ``axes[1]`` size q) so a single
+    volume scales over p*q chips. Inner products psum over both axes.
+    Requires Nz % p == 2Ny % p == Ny % q == 2Nx % q == 0.
+    """
+    img_shape = maps.shape[1:]
+    if len(img_shape) != 3:
+        raise ValueError("sense_vol_recon2 supports 3D volumes")
+    a, b = axes
+    p, q = mesh.shape[a], mesh.shape[b]
+    Nz, Ny, Nx = img_shape
+    if Nz % p or (2 * Ny) % p or Ny % q or (2 * Nx) % q:
+        raise ValueError(
+            f"volume {img_shape} not compatible with mesh axes {a}={p}, "
+            f"{b}={q}: need Nz%p == 2Ny%p == Ny%q == 2Nx%q == 0")
+    fn = _vol_recon2_fn(mesh, tuple(axes), float(lamda), int(iters))
+    return fn(np.asarray(Tf), cplx.to_numpy(maps), cplx.to_numpy(rhs))
 
 
 @functools.lru_cache(maxsize=32)

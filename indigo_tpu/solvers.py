@@ -16,6 +16,7 @@ traced pytree inputs, maxiter/tol are static.
 from __future__ import annotations
 
 import functools
+import weakref
 from functools import partial
 
 import jax
@@ -67,21 +68,54 @@ def cg(A, b, x0=None, lamda=0.0, tol=1e-6, maxiter=100, history=False,
     if traced or cplx.supports_complex_buffers():
         return _cg_core(A, b, x0, lamda=lamda, tol=tol, maxiter=maxiter,
                         history=history, precond=precond)
-    if precond is not None:
-        # callables aren't cache keys; one-shot complex-safe jit
+    # Eager on a complex-incapable backend: compile once per (solver
+    # config), cached so repeated solves hit the same executable.
+    cfg = (float(lamda), float(tol), int(maxiter), bool(history))
+    if precond is None:
+        return _cg_cjit(*cfg)(A, b, x0)
+    if isinstance(precond, Operator):
+        # operators are pytrees: ride in as a jit ARGUMENT (shared
+        # executable per config, payload arrays not re-embedded)
+        return _cg_cjit(*cfg, with_precond=True)(A, b, x0, precond)
+    # plain callables can't be jit args; key the executable cache on the
+    # callable's identity (weakref so we don't pin user closures forever)
+    fn = _pcg_callable_cjit(precond, cfg)
+    if fn is None:  # not weakref-able; one-shot complex-safe jit
         return cplx.eager_call(
             partial(_cg_core, lamda=lamda, tol=tol, maxiter=maxiter,
                     history=history, precond=precond), A, b, x0)
-    # Eager on a complex-incapable backend: compile once per (solver config),
-    # cached so repeated solves hit the same executable.
-    fn = _cg_cjit(float(lamda), float(tol), int(maxiter), bool(history))
     return fn(A, b, x0)
 
 
 @functools.lru_cache(maxsize=64)
-def _cg_cjit(lamda, tol, maxiter, history):
+def _cg_cjit(lamda, tol, maxiter, history, with_precond=False):
+    if with_precond:
+        return cplx.cjit(
+            lambda A, b, x0, precond: _cg_core(
+                A, b, x0, lamda=lamda, tol=tol, maxiter=maxiter,
+                history=history, precond=precond))
     return cplx.cjit(partial(_cg_core, lamda=lamda, tol=tol,
                              maxiter=maxiter, history=history))
+
+
+_pcg_cache = weakref.WeakKeyDictionary()
+
+
+def _pcg_callable_cjit(precond, cfg):
+    """Compiled-PCG cache keyed on the preconditioner callable: repeated
+    solves with the same callable + solver config reuse one executable
+    instead of re-tracing per call. Returns None when ``precond`` cannot
+    be weak-referenced."""
+    try:
+        cfgs = _pcg_cache.setdefault(precond, {})
+    except TypeError:
+        return None
+    if cfg not in cfgs:
+        lamda, tol, maxiter, history = cfg
+        cfgs[cfg] = cplx.cjit(partial(
+            _cg_core, lamda=lamda, tol=tol, maxiter=maxiter,
+            history=history, precond=precond))
+    return cfgs[cfg]
 
 
 def _cg_core(A, b, x0=None, *, lamda, tol, maxiter, history, precond=None):

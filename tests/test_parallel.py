@@ -160,3 +160,73 @@ def test_volume_sharded_normal_matches(rng):
                                  lamda=lam, iters=12)
     assert rel_err(np.asarray(x_sh).ravel(), np.asarray(x_ref)[0]) < 1e-4
     assert res_sh.shape == (12,)
+
+
+def test_batched_cg_tol_stop(rng):
+    """tol-stopped batched CG freezes converged slices: same solutions as
+    the fixed-iteration run, per-slice iteration counts reported."""
+    n, S = 48, 3
+    M = rand64c(n, n, rng=rng)
+    A = (M @ M.conj().T + 5 * np.eye(n)).astype(np.complex64)
+    rhs = rand64c(S, n, rng=rng)
+    # scale slice severities so convergence points differ per slice
+    rhs[1] *= 1e-3
+    mv = lambda v: v @ jnp.asarray(A).T
+    x_ref, _ = batched_cg(mv, jnp.asarray(rhs), iters=150)
+    x, resids, k = batched_cg(mv, jnp.asarray(rhs), iters=150, tol=1e-8,
+                              return_iters=True)
+    k = np.asarray(k)
+    assert (k < 150).all() and (k > 3).all()
+    assert rel_err(np.asarray(x), np.asarray(x_ref)) < 1e-5
+    # residual history is frozen after convergence
+    resids = np.asarray(resids)
+    for s in range(S):
+        tail = resids[k[s]:, s]
+        assert np.allclose(tail, tail[0])
+
+
+def test_batched_cg_jacobi_precond(rng):
+    """Diagonal preconditioning on an ill-conditioned diagonal-dominant
+    system: fewer iterations to the same tolerance, same solution."""
+    n, S = 64, 2
+    d = np.geomspace(1.0, 3e3, n).astype(np.float32)
+    M = 0.05 * rand64c(n, n, rng=rng)
+    A = (np.diag(d) + (M + M.conj().T)).astype(np.complex64)
+    rhs = rand64c(S, n, rng=rng)
+    mv = lambda v: v @ jnp.asarray(A).T
+    pd = jnp.asarray(1.0 / d)
+    x0, _, k0 = batched_cg(mv, jnp.asarray(rhs), iters=400, tol=1e-9,
+                           return_iters=True)
+    x1, _, k1 = batched_cg(mv, jnp.asarray(rhs), iters=400, tol=1e-9,
+                           precond=lambda r: r * pd[None, :],
+                           return_iters=True)
+    assert (np.asarray(k1) < np.asarray(k0)).all()
+    xd = np.linalg.solve(A.astype(np.complex128), rhs.T.astype(
+        np.complex128)).T
+    assert rel_err(np.asarray(x1), xd) < 1e-4
+    assert rel_err(np.asarray(x0), xd) < 1e-4
+
+
+@needs8
+def test_pencil_volume_recon_matches(rng):
+    """2-axis pencil-sharded single-volume CG (4x2 mesh) == unsharded —
+    the p > Nz scaling path (SURVEY.md §5 long-context row)."""
+    from indigo_tpu.parallel import sense_vol_recon2
+
+    img = (8, 8, 8)          # Nz%4, 2Ny%4, Ny%2, 2Nx%2 all zero
+    traj = (rng.random((120, 3)) - 0.5)
+    maps = rand64c(2, *img, rng=rng)
+    Tf = toeplitz_kernel(traj, img, oversamp=2.0, width=4)
+    lam = 0.05 * float(np.abs(Tf).max())
+    rhs = rand64c(*img, rng=rng)
+    mesh = make_mesh(vz=4, vy=2)
+    x, resids = sense_vol_recon2(Tf, maps, rhs, mesh, lamda=lam, iters=6)
+    x0, _ = sense_batch_recon(Tf, maps, rhs.reshape(1, -1), mesh=None,
+                              lamda=lam, iters=6)
+    assert rel_err(np.asarray(x).ravel(), np.asarray(x0)[0]) < 1e-5
+    assert resids.shape == (6,)
+    # indivisible pencil (Nz=6 over vz=4) must be rejected up front
+    with pytest.raises(ValueError):
+        sense_vol_recon2(Tf, rand64c(2, 6, 8, 8, rng=rng),
+                         rand64c(6, 8, 8, rng=rng), mesh,
+                         lamda=lam, iters=2)

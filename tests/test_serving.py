@@ -76,3 +76,29 @@ def test_bad_shape_raises(pipeline):
     recon, _, _ = pipeline
     with pytest.raises(ValueError):
         recon(np.zeros(17, np.complex64))
+
+
+def test_tol_stop_and_jacobi(pipeline):
+    """tol-stopped serving solves match the fixed-iteration result, report
+    the iterations actually taken, and the Jacobi preconditioner reaches
+    the tolerance in no more iterations than plain CG."""
+    recon, maps, img_shape = pipeline
+    n = img_shape[0]
+    traj = radial_traj(48, 48)
+    yy, xx = np.mgrid[0:n, 0:n] / n
+    x_true = np.exp(-(((xx - .5) ** 2 + (yy - .5) ** 2) * 9)).astype(
+        np.complex64)
+    y = recon.simulate(x_true)
+
+    x_fixed = recon(y)
+    r_tol = SenseRecon(traj, maps, oversamp=2.0, width=5, iters=60,
+                       tol=1e-6)
+    x_tol = r_tol(y)
+    assert r_tol.last_iters < 60
+    assert rel_err(x_tol, x_fixed) < 1e-4
+
+    r_pcg = SenseRecon(traj, maps, oversamp=2.0, width=5, iters=60,
+                       tol=1e-6, precond="jacobi")
+    x_pcg = r_pcg(y)
+    assert r_pcg.last_iters <= r_tol.last_iters
+    assert rel_err(x_pcg, x_fixed) < 1e-4
