@@ -256,29 +256,43 @@ def run_config(n, cpu=False):
     log(f"normal-op applies/sec: {1.0/per_apply:.2f} "
         f"({per_apply*1e3:.1f} ms/apply)")
 
-    # roofline for one CG iteration (stderr only): the traffic model lives
-    # in ONE place — profiling.toeplitz_cg_iter_bytes — and the model
-    # bandwidth constant is calibrated against a measured copy pass.
+    # roofline for one CG iteration (stderr only): both resource models
+    # live in ONE place — profiling.toeplitz_cg_iter_bytes (HBM) and
+    # toeplitz_cg_iter_macs (MXU). The speed-of-light is the max of the
+    # two floors: 128^3 is jointly bound, 256-class volumes are MXU-bound
+    # (the 9-pass Karatsuba x bf16x3 radix-2 scheme executes 4.3T MACs
+    # per iteration at 256^3 — see profiling.py for why that count is
+    # already the executed-FLOP optimum at f32 accuracy).
     from indigo_tpu.profiling import (
-        HBM_BYTES_PER_SEC, toeplitz_cg_iter_bytes, measure_hbm_bandwidth)
+        HBM_BYTES_PER_SEC, MXU_MACS_PER_SEC, toeplitz_cg_iter_bytes,
+        toeplitz_cg_iter_macs, measure_hbm_bandwidth)
 
     nc = maps.shape[0]
     bytes_per_iter = toeplitz_cg_iter_bytes(img_shape, nc, layout,
                                             coil_chunk)
-    sol = HBM_BYTES_PER_SEC / bytes_per_iter
+    t_hbm = bytes_per_iter / HBM_BYTES_PER_SEC
+    if layout == "pallas":
+        t_mxu = toeplitz_cg_iter_macs(img_shape, nc) / MXU_MACS_PER_SEC
+    else:
+        t_mxu = 0.0  # jnp matmul-DFT path: HBM model only
+    sol = 1.0 / max(t_hbm, t_mxu)
+    bound = "MXU" if t_mxu > t_hbm else "HBM"
     try:
         hbm_meas = measure_hbm_bandwidth()
     except Exception as e:  # pragma: no cover
         log(f"bandwidth measurement failed: {e}")
         hbm_meas = None
-    sol_meas = (hbm_meas / bytes_per_iter) if hbm_meas else None
-    meas_txt = (f", measured SoL ~{sol_meas:.1f}/s at "
+    sol_meas = (1.0 / max(bytes_per_iter / hbm_meas, t_mxu)
+                if hbm_meas else None)
+    meas_txt = (f", measured-bw SoL ~{sol_meas:.1f}/s at "
                 f"{hbm_meas/1e9:.0f}GB/s" if sol_meas else "")
     log(f"device={jax.devices()[0].platform} first={t_first:.2f}s "
         f"warm={t_warm:.3f}s iters/sec={ips:.2f} "
-        f"(model speed-of-light ~{sol:.1f}/s at "
-        f"{HBM_BYTES_PER_SEC/1e9:.0f}GB/s, {100*ips/sol:.0f}% of "
-        f"roofline{meas_txt})")
+        f"(model speed-of-light ~{sol:.1f}/s, {bound}-bound: "
+        f"HBM floor {t_hbm*1e3:.1f}ms at {HBM_BYTES_PER_SEC/1e9:.0f}GB/s"
+        + (f", MXU floor {t_mxu*1e3:.1f}ms at "
+           f"{MXU_MACS_PER_SEC/1e12:.0f}T MAC/s" if t_mxu else "")
+        + f"; {100*ips/sol:.0f}% of roofline{meas_txt})")
     return {"ips": ips, "per_apply": per_apply, "roofline_frac": ips / sol}
 
 

@@ -32,7 +32,16 @@ the 183 recorded mid-round was a short-span min-estimator artifact).
 Axes longer than 128 use a radix-2 stage factorization (see _Stage): four
 half-size matmuls at full 128-deep MXU utilization plus a VPU butterfly —
 2x fewer MXU FLOPs where the matmul-DFT's O(n)-per-element work would
-otherwise dominate (256^3 measured MXU-bound). Radix stages speak the
+otherwise dominate (256^3 measured MXU-bound). The forward radix halves
+merge their two constant matrices side-by-side ([Fm | Fm*tw]) so each
+input half is one 9-pass matmul with its operand split hi/lo exactly
+once. Probed dead ends (tools/dot_probe.py, tools/kern_micro.py at
+256^3): merging the four inverse half-products into one wide matmul is
+slower (VMEM concat copies exceed the split savings; see _Stage.apply),
+rank-3 dot_general forms lower but run ~2x slower than per-row dots, and
+radix-4/split-radix cannot cut executed MACs further because the MXU
+pads every contraction to depth 128 (see profiling.toeplitz_cg_iter_macs
+for the executed-FLOP floor argument). Radix stages speak the
 per-axis sigma (even|odd block) image basis — contiguous VMEM splits and
 concats only, because Mosaic lowers neither strided sublane slices nor
 lane interleaves (and in-VMEM sublane relayouts measured SLOWER than the
@@ -101,16 +110,21 @@ def _d3(ah, al, bh, bl, dn):
     return f(ah, bh) + f(ah, bl) + f(al, bh)
 
 
-def _cmm(xr, xi, pack, dn, const_lhs):
-    """Complex matmul data x const-pack via Karatsuba: 9 bf16 passes.
-
-    P1 = x_r * M_r, P2 = x_i * M_i, P3 = (x_r + x_i) * (M_r + M_i);
-    returns (P1 - P2, P3 - P1 - P2). ``const_lhs`` puts the constant pack
-    on the lhs of dot_general (for M @ x stages).
-    """
+def _csplit(xr, xi):
+    """VPU: split a complex operand's three Karatsuba parts hi/lo once.
+    Returns (xrh, xrl, xih, xil, xsh, xsl) for reuse across several
+    ``_cmm_pre`` calls — re-splitting per matmul was ~half the radix
+    stages' VPU work."""
     xrh, xrl = _split(xr)
     xih, xil = _split(xi)
     xsh, xsl = _split(xr + xi)
+    return xrh, xrl, xih, xil, xsh, xsl
+
+
+def _cmm_pre(sp, pack, dn, const_lhs):
+    """Complex matmul of a PRE-SPLIT operand (``_csplit``) with a const
+    pack via Karatsuba: 9 bf16 passes. Returns (P1 - P2, P3 - P1 - P2)."""
+    xrh, xrl, xih, xil, xsh, xsl = sp
     if const_lhs:
         # dot_general(const, data): constant pack on the lhs
         f = lambda a, b: lax.dot_general(a, b, dn,
@@ -123,6 +137,16 @@ def _cmm(xr, xi, pack, dn, const_lhs):
         p2 = _d3(xih, xil, pack[2], pack[3], dn)
         p3 = _d3(xsh, xsl, pack[4], pack[5], dn)
     return p1 - p2, p3 - p1 - p2
+
+
+def _cmm(xr, xi, pack, dn, const_lhs):
+    """Complex matmul data x const-pack via Karatsuba: 9 bf16 passes.
+
+    P1 = x_r * M_r, P2 = x_i * M_i, P3 = (x_r + x_i) * (M_r + M_i);
+    returns (P1 - P2, P3 - P1 - P2). ``const_lhs`` puts the constant pack
+    on the lhs of dot_general (for M @ x stages).
+    """
+    return _cmm_pre(_csplit(xr, xi), pack, dn, const_lhs)
 
 
 # dot_general dimension_numbers
@@ -322,9 +346,21 @@ class _Stage:
         lanes = role in ("fwd_T", "inv_T")
         if role.startswith("fwd"):
             Fm = np.exp(-2j * np.pi * np.outer(jm, jm) / m)
-            mats = [Fm, Fm * te[None, :], Fm * to[None, :]]
-            if role == "fwd_T":
-                mats = [M.T for M in mats]
+            # fwd_M merges its packs: the even-input half multiplies
+            # [Fm ; Fm*te] and the odd half [Fm ; Fm*to] in ONE 9-pass
+            # complex matmul each (outputs stacked on sublanes) — same
+            # MACs as four separate m-wide matmuls, half the MXU
+            # instructions and half the operand-split VPU work (kernel A
+            # 14.4 -> 14.1 ms at 256^3). The equivalent lane-side merge
+            # for fwd_T measured SLOWER (kernel B 43.6 -> 45.4 ms), so
+            # fwd_T keeps four narrow matmuls with shared operand splits.
+            self.merged = role == "fwd_M"
+            if self.merged:
+                mats = [np.concatenate([Fm, Fm * tv[None, :]], axis=0)
+                        for tv in (te, to)]
+            else:
+                mats = [M.T for M in
+                        (Fm, Fm * te[None, :], Fm * to[None, :])]
             self.packs = [_pack(M.astype(np.complex64)) for M in mats]
             self.packs.append(self._tw(lanes, w))
         else:
@@ -362,12 +398,29 @@ class _Stage:
             # (even|odd block) order — the all-sigma basis contract
             lor, loi = xr[:m], xi[:m]
             hir, hii = xr[m:], xi[m:]
-            q0, q1, q2 = refs[0][...], refs[1][...], refs[2][...]
-            Er, Ei = _cmm(lor, loi, q0, dn, const_lhs=lhs)
-            Or_, Oi_ = _cmm(hir, hii, q0, dn, const_lhs=lhs)
-            Epr, Epi = _cmm(lor, loi, q1, dn, const_lhs=lhs)
-            Opr, Opi = _cmm(hir, hii, q2, dn, const_lhs=lhs)
-            tw = refs[3][...]
+            sp_lo = _csplit(lor, loi)
+            sp_hi = _csplit(hir, hii)
+            if self.merged:
+                # one merged 9-pass matmul per input half: lo -> [E ; Ep],
+                # hi -> [O ; Op]; each operand split hi/lo exactly once
+                qlo, qhi = refs[0][...], refs[1][...]
+                Lr, Li = _cmm_pre(sp_lo, qlo, dn, const_lhs=lhs)
+                Hr, Hi = _cmm_pre(sp_hi, qhi, dn, const_lhs=lhs)
+                blk = lambda a, i: a[i * m:(i + 1) * m]
+                Er, Epr = blk(Lr, 0), blk(Lr, 1)
+                Ei, Epi = blk(Li, 0), blk(Li, 1)
+                Or_, Opr = blk(Hr, 0), blk(Hr, 1)
+                Oi_, Opi = blk(Hi, 0), blk(Hi, 1)
+                tw = refs[2][...]
+            else:
+                # four narrow matmuls (shared splits): the fwd_T lane-side
+                # merge measured slower — see __init__
+                q0, q1, q2 = (refs[i][...] for i in range(3))
+                Er, Ei = _cmm_pre(sp_lo, q0, dn, const_lhs=lhs)
+                Or_, Oi_ = _cmm_pre(sp_hi, q0, dn, const_lhs=lhs)
+                Epr, Epi = _cmm_pre(sp_lo, q1, dn, const_lhs=lhs)
+                Opr, Opi = _cmm_pre(sp_hi, q2, dn, const_lhs=lhs)
+                tw = refs[3][...]
             wr, wi = tw[0], tw[1]
             cat = functools.partial(jnp.concatenate,
                                     axis=1 if lanes else 0)
@@ -377,7 +430,12 @@ class _Stage:
             TPi = wr * Opi + wi * Opr
             return (cat([Er + TOr, Er - TOr, Epr + TPr, Epr - TPr]),
                     cat([Ei + TOi, Ei - TOi, Epi + TPi, Epi - TPi]))
-        # inverse roles: fold + 4 half matmuls + conj-twiddle combine
+        # inverse roles: fold + 4 half matmuls + conj-twiddle combine.
+        # (Measured dead end, kept for the record: concatenating the four
+        # data blocks into ONE wide matmul — they share the constant — is
+        # SLOWER (kernel B 43.6 -> 46.5 ms at 256^3): the VMEM concat
+        # copies cost more than the saved operand splits, and narrow
+        # back-to-back dots already stream the MXU at ~91 T MAC/s.)
         lanes = role == "inv_T"
         dn = _DN
         lhs = not lanes

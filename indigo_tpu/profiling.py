@@ -23,12 +23,18 @@ from .analyses import apply_cost
 from .operators import Operator
 
 __all__ = ["trace", "time_apply", "roofline_report", "HBM_BYTES_PER_SEC",
-           "toeplitz_cg_iter_bytes", "measure_hbm_bandwidth"]
+           "MXU_MACS_PER_SEC", "toeplitz_cg_iter_bytes",
+           "toeplitz_cg_iter_macs", "measure_hbm_bandwidth"]
 
 # v5e HBM bandwidth (bytes/sec); override for other parts. This is the
 # MODEL speed-of-light; ``measure_hbm_bandwidth`` provides the measured
 # (achievable) figure on the current device — bench.py prints both.
 HBM_BYTES_PER_SEC = 819e9
+
+# v5e MXU peak (bf16 MAC/s; 197 TFLOP/s nominal). Back-to-back Pallas
+# dots of the kernels' exact shapes measure ~91e12 (tools/dot_probe.py,
+# loopT/loopM forms) — 92% of this nominal figure.
+MXU_MACS_PER_SEC = 98.5e12
 
 
 def toeplitz_cg_iter_bytes(img_shape, nc, layout, coil_chunk=None):
@@ -56,6 +62,31 @@ def toeplitz_cg_iter_bytes(img_shape, nc, layout, coil_chunk=None):
     fft_bytes = vols * npx * nc * cplx_b + big * 4 * nchunks
     other = ((0 if layout == "pallas" else 4 * npx * nc) + 6 * npx) * cplx_b
     return fft_bytes + other
+
+
+def toeplitz_cg_iter_macs(img_shape, nc):
+    """Executed bf16 MXU MACs of ONE Toeplitz-SENSE CG iteration on the
+    fused Pallas path (ops/dft_pallas.py) — the COMPUTE axis of the
+    roofline. 256-class volumes are MXU-bound, so the speed-of-light is
+    max(HBM time, MXU time), not the HBM figure alone.
+
+    Model, per coil-volume V: every matmul-DFT stage contracts depth 128
+    (the MXU's native depth; radix-2 splits exist precisely to keep that
+    true for >128 axes) at 9 bf16 passes per complex output (Karatsuba x
+    bf16x3). Forward stages produce 2V+4V+8V matmul outputs. Inverse
+    stages produce 4V+2V+1V *final* outputs, but a radix inverse executes
+    2x its final outputs (four half-size products feed each butterfly).
+    Executed-MAC floor notes (DESIGN.md): radix-4/split-radix does NOT
+    reduce this — the MXU pads any contraction to depth 128, so base-128
+    blocks are already the executed-FLOP optimum; fewer than 9 passes
+    costs ~2^-9-class relative error (>= 100x over the 5e-5 test bar).
+    """
+    V = int(np.prod(img_shape))
+    radix = [int(s) > 128 for s in img_shape]
+    fwd = 2 + 4 + 8
+    inv = sum((2 * o if r else o)
+              for o, r in zip((4, 2, 1), radix))
+    return (fwd + inv) * V * 128 * 9 * nc
 
 
 def measure_hbm_bandwidth(nbytes=1 << 29, k1=4, k2=12):
