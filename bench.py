@@ -452,16 +452,26 @@ def run_tile_3d(n=128, cpu=False):
             "fwd_roofline_frac": 1.0 / (per_f * sol_f)}
 
 
-def run_sharded_256(iters=10):
-    """256^3 volume-sharded (tensor-parallel) over all visible devices."""
+def run_sharded_vol(n=256, iters=10, nspokes=None, nread=None):
+    """n^3 volume-sharded (tensor-parallel) over all visible devices.
+
+    The bench lane runs it at n=256 (``--sharded``, needs >1 real chip);
+    tests exercise the same code path at small n on the virtual 8-device
+    CPU mesh (tests/test_bench_smoke.py), so it cannot bitrot unnoticed.
+    """
     import jax
     from jax.sharding import Mesh
     from indigo_tpu.parallel.recon import sense_vol_recon
 
     devs = np.array(jax.devices())
-    n = 256
-    traj, img_shape, maps, rhs = build_problem(n=n, nspokes=16 * n, nread=n)
-    Tf = toeplitz_cached(traj, img_shape, n)
+    traj, img_shape, maps, rhs = build_problem(
+        n=n, nspokes=16 * n if nspokes is None else nspokes,
+        nread=n if nread is None else nread)
+    if n >= 256:
+        Tf = toeplitz_cached(traj, img_shape, n)
+    else:
+        from indigo_tpu.toeplitz import toeplitz_kernel
+        Tf = toeplitz_kernel(traj, img_shape, oversamp=1.25, width=4)
     mesh = Mesh(devs, ("vol",))
     t0 = time.time()
     x, resids = sense_vol_recon(Tf, maps, rhs.reshape(img_shape), mesh,
@@ -472,9 +482,9 @@ def run_sharded_256(iters=10):
                                 lamda=1.0, iters=iters)
     t_warm = time.time() - t0
     ips = iters / t_warm
-    log(f"sharded 256^3 over {len(devs)} devices: first={t_first:.1f}s "
+    log(f"sharded {n}^3 over {len(devs)} devices: first={t_first:.1f}s "
         f"warm {ips:.2f} iters/sec")
-    return {"ips": ips}
+    return {"ips": ips, "x": x, "resids": resids}
 
 
 def emit(metric, value, vs=None, **extra):
@@ -532,7 +542,7 @@ def main():
         return (val / cfgs[key]) if cfgs.get(key) else None
 
     if sharded and len(jax.devices()) > 1:
-        r = run_sharded_256()
+        r = run_sharded_vol()
         emit("cg_iters_per_sec_3d_sense_256c8_sharded", r["ips"],
              n_devices=len(jax.devices()))
 

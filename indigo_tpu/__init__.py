@@ -21,7 +21,8 @@ from . import (
 )
 from .backends import get_backend, available_backends
 from .operators import (
-    Operator, SpMatrix, KBInterp, DenseMatrix, Diag, UnscaledFFT, Eye, One,
+    Operator, SpMatrix, KBInterp, DenseMatrix, Diag, UnscaledFFT,
+    CenteredDFT, Eye, One,
     CropPad, Perm, Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
 from .solvers import cg, apgd, fista, max_eigen, soft_thresh

@@ -10,8 +10,8 @@ from __future__ import annotations
 import numpy as np
 
 from .operators import (
-    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
-    Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
+    Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, CenteredDFT, Eye,
+    One, CropPad, Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
 from .transforms import Visitor
 
@@ -76,6 +76,18 @@ def apply_cost(op: Operator, ncols: int = 1):
             n = int(np.prod(node.vol_shape))
             flops = 5 * n * max(1, int(np.log2(max(n, 2)))) * K * 2
             return flops, 2 * 2 * n * K * isz  # read+write, ~2 passes
+        if isinstance(node, CenteredDFT):
+            # per-axis matmul stages over a volume morphing img -> grid:
+            # stage d contracts g_d x n_d over the mixed intermediate
+            img, grid = node.img_shape, node.grid_shape
+            flops = 0
+            vol = int(np.prod(img))
+            bytes_ = node.shape[1] * K * isz
+            for n_, g_ in zip(img, grid):
+                vol = vol // n_ * g_
+                flops += 8 * vol * n_ * K
+                bytes_ += 2 * vol * K * isz + n_ * g_ * isz
+            return flops, bytes_
         if isinstance(node, (Eye,)):
             return 0, 0
         if isinstance(node, CropPad):

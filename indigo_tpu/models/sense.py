@@ -16,8 +16,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..operators import (
-    Operator, SpMatrix, KBInterp, Diag, UnscaledFFT, KronI, VStack, Scale,
-    Product, CropPad, Perm,
+    Operator, SpMatrix, KBInterp, Diag, UnscaledFFT, CenteredDFT, KronI,
+    VStack, Scale, Product, CropPad, Perm,
 )
 from .. import noncart
 from ..noncart import (
@@ -86,12 +86,23 @@ class NufftPlan:
 
 
 def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
-             col_tiling=None, deapod=True, interp="auto", name="NUFFT"):
+             col_tiling=None, deapod=True, interp="auto", fft="auto",
+             name="NUFFT"):
     """Type-2 NUFFT operator A: image -> k-space samples.
 
     A = G [. P] . Fc . Z . Da  with G the KB gridding interpolation, Fc the
     centered FFT on the oversampled grid, Z centered zero-padding, Da the
     real deapodization diagonal. Returns (A, plan).
+
+    ``fft`` selects how Fc . Z is executed:
+      * 'mm'   — ONE fused :class:`CenteredDFT` leaf: per-axis MXU matmul-
+        DFT with the pad and fftshift checkerboards folded into the
+        matrices (no padded volume, no shift passes, no Bluestein for
+        non-pow2 grids like 320). Exactly equal to the chain.
+      * 'xla'  — the explicit Fc . Z chain over XLA's FFT.
+      * 'auto' — 'mm' when every grid dim is even and <= 512 (where the
+        matmul-DFT measures faster than the XLA FFT on TPU and the
+        matrices stay tiny), else 'xla'.
 
     ``interp`` selects the G leaf:
       * 'sparse' — blocked-ELL/jag :class:`SpMatrix` (Pallas SpMM on TPU).
@@ -164,10 +175,16 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
             Gcsr.has_sorted_indices = False
             chain.append(Perm(cperm, name="GridTiling"))
         G = SpMatrix(Gcsr, name="Gridding")
-    Fc = centered_fft_op(grid_shape)
-    Z = CropPad(img_shape, grid_shape, name="Zpad")
+    if fft == "auto":
+        fft = ("mm" if all(g % 2 == 0 and g <= 512 for g in grid_shape)
+               else "xla")
     da = deapodization(img_shape, grid_shape, width=width, beta=beta)
-    factors = chain + [Fc, Z]
+    if fft == "mm":
+        factors = chain + [CenteredDFT(img_shape, grid_shape, name="PadDFT")]
+    else:
+        Fc = centered_fft_op(grid_shape)
+        Z = CropPad(img_shape, grid_shape, name="Zpad")
+        factors = chain + [Fc, Z]
     if deapod:
         factors.append(Diag(da, name="Deapod"))
     A = G
@@ -179,7 +196,8 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
     return A, plan
 
 
-def sense_nufft_op(traj, maps, oversamp=1.5, width=4, beta=None, sort=True):
+def sense_nufft_op(traj, maps, oversamp=1.5, width=4, beta=None, sort=True,
+                   fft="auto"):
     """Multi-coil SENSE NUFFT operator: (ncoil*M, prod(img)).
 
     maps: (ncoil, *img_shape) complex coil sensitivities.
@@ -194,7 +212,7 @@ def sense_nufft_op(traj, maps, oversamp=1.5, width=4, beta=None, sort=True):
     # deapodization into the per-coil map diagonals (one fewer image pass)
     G_FcZ, plan = nufft_op(
         traj, img_shape, oversamp=oversamp, width=width, beta=beta,
-        sort=sort, deapod=False)
+        sort=sort, deapod=False, fft=fft)
     coils = VStack(
         [Diag((plan.deapod * maps[c]).ravel().astype(np.complex64),
               name=f"Map{c}") for c in range(nc)],

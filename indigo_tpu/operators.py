@@ -38,8 +38,8 @@ from .sparse import (
 
 __all__ = [
     "Operator",
-    "SpMatrix", "KBInterp", "DenseMatrix", "Diag", "UnscaledFFT", "Eye",
-    "One", "CropPad", "Perm",
+    "SpMatrix", "KBInterp", "DenseMatrix", "Diag", "UnscaledFFT",
+    "CenteredDFT", "Eye", "One", "CropPad", "Perm",
     "Product", "Adjoint", "KronI", "BlockDiag", "VStack", "HStack", "Scale",
 ]
 
@@ -428,6 +428,86 @@ class UnscaledFFT(Operator):
         obj = cls.__new__(cls)
         obj._vol, dtype, obj._name = aux
         obj._dtype = jnp.dtype(dtype)
+        return obj
+
+
+@register_pytree_node_class
+class CenteredDFT(Operator):
+    """Fused (centered FFT) . (centered zero-pad) as per-axis MXU matmuls.
+
+    Structurally equal to ``centered_fft_op(grid_shape) * CropPad(img_shape,
+    grid_shape)`` (models/sense.py) — forward maps an image to the centered
+    spectrum on the oversampled grid, adjoint crops the inverse centered FFT
+    back to the image. TPU-first replacement for that 5-op chain: each axis
+    is ONE (g_d, n_d) complex matrix (ops/dft_fft.centered_pad_dft_mat) with
+    the fftshift checkerboards and the pad offset folded in, applied as
+    dot_general stages in transpose-free axis-cycling order. The padded
+    volume, the +-1 shift passes, and XLA's FFT (Bluestein for non-pow2
+    axes like 320 = 2^6*5) never materialize; on v5e the 320^3 8-coil
+    adjoint drops ~4x vs jnp.fft.ifftn (see BASELINE.md serving row).
+
+    Reference parity: the UnscaledFFT + shift/scale diagonals + zero-pad
+    SpMatrix stages of the reference composition (SURVEY.md §3.4).
+    """
+
+    def __init__(self, img_shape, grid_shape, name=None, _mats=None):
+        from .ops.dft_fft import centered_pad_dft_mat
+
+        self._img = tuple(int(s) for s in img_shape)
+        self._grid = tuple(int(s) for s in grid_shape)
+        if len(self._img) != len(self._grid):
+            raise ValueError("rank mismatch")
+        for n, g in zip(self._img, self._grid):
+            if n > g:
+                raise ValueError("img_shape must fit inside grid_shape")
+            if g % 2:
+                raise ValueError("centered FFT requires even grid dims")
+        self._name = name
+        if _mats is None:
+            _mats = tuple(as_payload(centered_pad_dft_mat(n, g))
+                          for n, g in zip(self._img, self._grid))
+        self._mats = _mats
+
+    @property
+    def img_shape(self):
+        return self._img
+
+    @property
+    def grid_shape(self):
+        return self._grid
+
+    @property
+    def shape(self):
+        return (int(np.prod(self._grid)), int(np.prod(self._img)))
+
+    @property
+    def dtype(self):
+        return jnp.complex64
+
+    def apply(self, x, adjoint=False):
+        from .ops.dft_fft import dft_nd_apply
+
+        K = x.shape[1]
+        src = self._grid if adjoint else self._img
+        mats = [unpack(m) for m in self._mats]
+        if adjoint:
+            mats = [jnp.conj(m).T for m in mats]
+        v = x.T.reshape((K,) + src).astype(jnp.complex64)
+        y = dft_nd_apply(v, mats)
+        return y.reshape(K, -1).T
+
+    def _describe(self):
+        return (f"{self.name}{list(self._img)}->{list(self._grid)} "
+                f"<{self.shape[0]}x{self.shape[1]}>")
+
+    def tree_flatten(self):
+        return (self._mats,), (self._img, self._grid, self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj._mats,) = children
+        obj._img, obj._grid, obj._name = aux
         return obj
 
 

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 __all__ = [
     "dft_pad2x_mats", "block_perm", "block_spectrum",
     "fft_pad2x_block", "ifft_crop2x_block", "toeplitz_apply_block",
+    "centered_pad_dft_mat", "dft_nd_apply",
 ]
 
 
@@ -117,6 +118,41 @@ def ifft_crop2x_block(X, precision="highest"):
         _, Mi = dft_pad2x_mats(int(X.shape[1]) // 2)
         X = _stage(X, Mi, precision)
     return X
+
+
+@lru_cache(maxsize=None)
+def centered_pad_dft_mat(n: int, g: int):
+    """(g, n) complex64 matrix folding centered zero-pad + centered FFT.
+
+    Per-axis factor of ``centered_fft_op(grid) * CropPad(img, grid)``
+    (models/sense.py): with o = (g-n)//2 the centered pad offset,
+
+        M[k, j] = (-1)^(g/2) (-1)^k (-1)^(j+o) exp(-2i pi k (j+o) / g)
+
+    i.e. the fftshift checkerboards (noncart.checkerboard) and the pad are
+    baked into the DFT matrix — the padded volume, the shift passes and
+    XLA's FFT (Bluestein for non-pow2 axes like 320) never materialize.
+    The exact conjugate transpose is the adjoint (crop . inverse centered
+    FFT), matching UnscaledFFT's unnormalized-adjoint convention.
+    """
+    assert g % 2 == 0 and n <= g
+    o = (g - n) // 2
+    k = np.arange(g)[:, None]
+    j = np.arange(n)[None, :] + o
+    M = np.exp(-2j * np.pi * k * j / g)
+    M *= ((-1.0) ** (g // 2)) * ((-1.0) ** k) * ((-1.0) ** j)
+    return M.astype(np.complex64)
+
+
+def dft_nd_apply(x, mats, precision="highest"):
+    """Apply per-axis DFT matrices to x (K, *dims): nd cyclic stages.
+
+    mats[d] is (out_d, dims[d]); stages use :func:`_stage`'s transpose-free
+    axis choreography, so axes return to their original order.
+    """
+    for M in mats:
+        x = _stage(x, M, precision)
+    return x
 
 
 def toeplitz_apply_block(Tfb, v, precision="highest"):

@@ -21,3 +21,18 @@ def test_cpu_baseline_file_valid():
     with open("bench_cpu.json") as f:
         base = json.load(f)
     assert base["value"] > 0 and base["n"] == 128
+
+
+def test_sharded_vol_lane_runs():
+    """Drive the --sharded bench lane end-to-end on the virtual 8-device
+    mesh (it needs >1 real chip in production, so without this test the
+    lane could bitrot silently — VERDICT r2)."""
+    sys.path.insert(0, ".")
+    import bench
+    r = bench.run_sharded_vol(n=16, iters=3, nspokes=64, nread=16)
+    assert r["ips"] > 0
+    x = np.asarray(r["x"])
+    assert x.shape == (16, 16, 16)
+    assert np.isfinite(x).all() and np.linalg.norm(x) > 0
+    resids = np.asarray(r["resids"])
+    assert np.isfinite(resids).all()

@@ -86,6 +86,47 @@ def test_unscaled_fft(vol, rng):
     assert rel_err(y, n * x) < 1e-5
 
 
+@pytest.mark.parametrize("img,grid", [
+    ((12,), (16,)),
+    ((10, 12), (16, 16)),
+    ((6, 8, 10), (8, 10, 12)),   # non-cube, mixed oversampling
+    ((8, 8), (8, 8)),            # img == grid: pure centered DFT
+])
+def test_centered_dft_equals_chain(img, grid, rng):
+    """CenteredDFT == centered_fft_op(grid) * CropPad(img, grid) exactly
+    (the fused leaf folds pad + fftshift checkerboards into the per-axis
+    DFT matrices)."""
+    from indigo_tpu.models.sense import centered_fft_op
+
+    fused = it.CenteredDFT(img, grid)
+    chain = centered_fft_op(grid) * it.CropPad(img, grid)
+    dense = dense_of(chain)
+    check_against(fused, dense, rng)
+
+
+def test_nufft_op_fft_mm_matches_xla(rng):
+    """nufft_op(fft='mm') == nufft_op(fft='xla') end to end, both
+    directions, and 'auto' picks the fused leaf for small even grids."""
+    from indigo_tpu.models import nufft_op
+
+    traj = (rng.random((80, 2)) - 0.5).astype(np.float64)
+    img_shape = (12, 10)
+    A_m, _ = nufft_op(traj, img_shape, oversamp=2.0, width=4, fft="mm")
+    A_x, _ = nufft_op(traj, img_shape, oversamp=2.0, width=4, fft="xla")
+    A_a, _ = nufft_op(traj, img_shape, oversamp=2.0, width=4)
+    names = []
+    stack = [A_a]
+    while stack:
+        op = stack.pop()
+        names.append(type(op).__name__)
+        stack.extend(op.children())
+    assert "CenteredDFT" in names  # auto -> mm at this scale
+    x = rand64c(int(np.prod(img_shape)), 2, rng=rng)
+    assert rel_err(np.asarray(A_m * x), np.asarray(A_x * x)) < 2e-5
+    y = rand64c(A_m.shape[0], 2, rng=rng)
+    assert rel_err(np.asarray(A_m.H * y), np.asarray(A_x.H * y)) < 2e-5
+
+
 def test_product(rng):
     A = rand64c(20, 30, rng=rng)
     B = randM(30, 25, 0.2, rng=rng)

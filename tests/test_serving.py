@@ -95,10 +95,10 @@ def test_tol_stop_and_jacobi(pipeline):
                        tol=1e-6)
     x_tol = r_tol(y)
     assert r_tol.last_iters < 60
-    assert rel_err(x_tol, x_fixed) < 1e-4
+    assert rel_err(x_tol, x_fixed) < 2e-4
 
     r_pcg = SenseRecon(traj, maps, oversamp=2.0, width=5, iters=60,
                        tol=1e-6, precond="jacobi")
     x_pcg = r_pcg(y)
     assert r_pcg.last_iters <= r_tol.last_iters
-    assert rel_err(x_pcg, x_fixed) < 1e-4
+    assert rel_err(x_pcg, x_fixed) < 2e-4

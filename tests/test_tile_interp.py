@@ -126,6 +126,36 @@ def test_nufft_op_auto_picks_sparse_for_small(rng):
     assert "SpMatrix" in found and "KBInterp" not in found
 
 
+def test_nufft_op_auto_choice_at_bench_scales():
+    """Pin interp='auto' at the representative benchmark scales: the 2D
+    radial workload (bench.py run_gridded_2d geometry) must stay on the
+    SpMatrix (jag Pallas) leaf, and 3D must stay on KBInterp — a silent
+    flip would change the perf class without failing any exactness test."""
+    def leaf_names(A):
+        out, stack = [], [A]
+        while stack:
+            op = stack.pop()
+            out.append(type(op).__name__)
+            stack.extend(op.children())
+        return out
+
+    n = 128
+    nspokes = int(1.5 * n)
+    ang = np.pi * np.arange(nspokes) / nspokes
+    r = (np.arange(2 * n) - n) / (2 * n)
+    traj2 = np.stack([np.outer(np.cos(ang), r).ravel(),
+                      np.outer(np.sin(ang), r).ravel()], axis=1)
+    A2, _ = nufft_op(traj2, (n, n), oversamp=1.5, width=4)
+    names2 = leaf_names(A2)
+    assert "SpMatrix" in names2 and "KBInterp" not in names2
+
+    rng3 = np.random.default_rng(3)
+    traj3 = (rng3.random((4096, 3)) - 0.5).astype(np.float64)
+    A3, _ = nufft_op(traj3, (32, 32, 32), oversamp=1.25, width=4)
+    names3 = leaf_names(A3)
+    assert "KBInterp" in names3 and "SpMatrix" not in names3
+
+
 def test_tiled_order_is_permutation():
     for grid in [(8, 16), (8, 8, 16), (256,)]:
         p = noncart.tiled_order(grid)
