@@ -126,6 +126,39 @@ def test_nufft_op_auto_picks_sparse_for_small(rng):
     assert "SpMatrix" in found and "KBInterp" not in found
 
 
+def test_binned_adjoint_matches_scatter(rng):
+    """The scatter-free (binned) adjoint == the row-scatter formulation,
+    including clustered trajectories (multi-row count classes) and the
+    chunked per-class execution branch."""
+    from indigo_tpu.ops import tile_interp as ti
+
+    grid = (14, 18, 22)
+    traj = traj_with_wrap(400, 3, rng)
+    traj[100:300] = traj[0] + 0.003 * rng.random((200, 3))  # dense cluster
+    beta = noncart.beatty_beta(4, 1.5)
+    p_b = plan_tile_interp(traj, grid, width=4, beta=beta)
+    p_s = plan_tile_interp(traj, grid, width=4, beta=beta,
+                           adjoint="scatter")
+    assert p_b.bins is not None and p_s.bins is None
+    y = rand64c(400, 5, rng=rng)
+    a_b = np.asarray(tile_interp_apply(p_b, y, adjoint=True))
+    a_s = np.asarray(tile_interp_apply(p_s, y, adjoint=True))
+    assert rel_err(a_b, a_s) < 1e-6
+    # chunked branch: shrink the scratch bound so every class splits
+    old = ti._BIN_SCRATCH_ELEMS
+    try:
+        ti._BIN_SCRATCH_ELEMS = 1 << 12
+        p_c = plan_tile_interp(traj, (15, 19, 23), width=4, beta=beta)
+        y2 = rand64c(400, 2, rng=rng)
+        a_c = np.asarray(tile_interp_apply(p_c, y2, adjoint=True))
+        p_c2 = plan_tile_interp(traj, (15, 19, 23), width=4, beta=beta,
+                                adjoint="scatter")
+        a_c2 = np.asarray(tile_interp_apply(p_c2, y2, adjoint=True))
+        assert rel_err(a_c, a_c2) < 1e-6
+    finally:
+        ti._BIN_SCRATCH_ELEMS = old
+
+
 def test_nufft_op_auto_choice_at_bench_scales():
     """Pin interp='auto' at the representative benchmark scales: the 2D
     radial workload (bench.py run_gridded_2d geometry) must stay on the

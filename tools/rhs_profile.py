@@ -146,11 +146,12 @@ def main():
         return jnp.real(r)[(0,) * (len(gs) + 1)]
 
     _measure(lambda s, y: interp_adj(Gd, s, y), (y_d,), "G^H (tile adj)")
-    _measure(fft_ktrail, (g_d,), "ifftn K-trailing")
-    _measure(fft_klead, (g_d,), "ifftn K-leading")
+    if "--fft" in sys.argv:   # raw XLA FFT comparison lanes
+        _measure(fft_ktrail, (g_d,), "ifftn K-trailing")
+        _measure(fft_klead, (g_d,), "ifftn K-leading")
     _measure(lambda s, im: coils_adj(cd, s, im), (im_d,), "coils^H")
     _measure(lambda s, y: core_adj(cored, s, y), (y_d,),
-             "core^H (G Fc Z)")
+             "core^H (G . PadDFT)")
     _measure(lambda s, ys: full(Ad, s, ys), (ys_d,), "full A^H")
 
 
