@@ -68,6 +68,7 @@ def main():
     nc = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     t0 = time.time()
     traj, img_shape, maps, _ = build_problem(n=n, nspokes=16 * n, nread=n)
+    maps = maps[:nc]   # build_problem always makes 8 coils
     A, plan = sense_nufft_op(traj, maps, oversamp=1.25, width=4)
     print(f"built A in {time.time()-t0:.1f}s grid={plan.grid_shape} "
           f"M={plan.n_samples} nc={nc}", flush=True)
@@ -145,14 +146,19 @@ def main():
         r = jnp.fft.ifftn(v, axes=tuple(range(1, len(gs) + 1)))
         return jnp.real(r)[(0,) * (len(gs) + 1)]
 
-    _measure(lambda s, y: interp_adj(Gd, s, y), (y_d,), "G^H (tile adj)")
+    # operator trees ride through _measure's args (jit ARGUMENTS): closed
+    # over they would become traced constants (~0.5 GB of plan arrays at
+    # 256^3), which hangs this sandbox's remote compile service — the same
+    # footgun models/recon.py documents for the serving pipeline
+    _measure(lambda s, G, y: interp_adj(G, s, y), (Gd, y_d),
+             "G^H (tile adj)")
     if "--fft" in sys.argv:   # raw XLA FFT comparison lanes
         _measure(fft_ktrail, (g_d,), "ifftn K-trailing")
         _measure(fft_klead, (g_d,), "ifftn K-leading")
-    _measure(lambda s, im: coils_adj(cd, s, im), (im_d,), "coils^H")
-    _measure(lambda s, y: core_adj(cored, s, y), (y_d,),
+    _measure(lambda s, C, im: coils_adj(C, s, im), (cd, im_d), "coils^H")
+    _measure(lambda s, c, y: core_adj(c, s, y), (cored, y_d),
              "core^H (G . PadDFT)")
-    _measure(lambda s, ys: full(Ad, s, ys), (ys_d,), "full A^H")
+    _measure(lambda s, A, ys: full(A, s, ys), (Ad, ys_d), "full A^H")
 
 
 if __name__ == "__main__":
