@@ -191,13 +191,21 @@ class SenseRecon:
             xs = xs.reshape((1,) + self.img_shape)
             if sig:
                 xs = from_sigma_basis(xs, sig_ax)
-            return xs.reshape(1, n)[0], resids[:, 0], k[0]
+            xs = xs.reshape(1, n)[0]
+            # real f32 outputs stay DEVICE-resident through the cjit
+            # boundary (complex ones are fetched to host numpy); the
+            # caller decides when/whether to pay the device->host link
+            return (jnp.real(xs).astype(jnp.float32),
+                    jnp.imag(xs).astype(jnp.float32)), resids[:, 0], k[0]
 
         def _solve(Tf, maps_p, w, y_sorted):
             rr, ri = _rhs(self._A_d, w, y_sorted)
             return _cg(Tf, maps_p, rr, ri, self._pd)
 
         self._solve = _solve
+        # the two compiled stages, exposed for stage-level timing
+        # (tools/serving_bench.py) and power users who reuse an rhs
+        self._rhs_fn, self._cg_fn = _rhs, _cg
 
         @cplx.cjit
         def _forward(A, x):
@@ -214,18 +222,49 @@ class SenseRecon:
         y = self._forward(np.asarray(x).ravel().astype(np.complex64))
         return self.plan.unsort_samples(np.asarray(y), ncoil=self.nc)
 
-    def __call__(self, y, return_resids=False):
+    def __call__(self, y, return_resids=False, output="host"):
         """Reconstruct an image from k-space y (user order, coil-major
-        (nc*M,) or (nc, M))."""
+        (nc*M,) or (nc, M)).
+
+        output: 'host' (default) returns a numpy complex image —
+        convenient, but it pays the device->host link for the whole
+        volume every call (serialized and slow on tunneled setups).
+        'device' returns a :class:`~indigo_tpu.cplx.CPair` of
+        device-resident f32 planes without blocking — the right choice
+        when the image feeds further on-device work or when egress
+        should overlap the next acquisition's solve. ``last_iters``
+        stays lazy (synced on first read) either way.
+        """
         y = np.asarray(y).reshape(-1)
         if y.shape[0] != self.nc * self.n_samples:
             raise ValueError(
                 f"expected {self.nc}x{self.n_samples} samples, got {y.shape}")
         y_sorted = self.plan.sort_samples(y, ncoil=self.nc)[:, None]
-        x, resids, k = self._solve(self._Tf, self._maps, self._wd,
-                                   y_sorted.astype(np.complex64))
-        x = np.asarray(x).reshape(self.img_shape)
-        self.last_iters = int(np.asarray(k))
+        (xr, xi), resids, k = self._solve(self._Tf, self._maps, self._wd,
+                                          y_sorted.astype(np.complex64))
+        self._last_k = k
+        if output == "device":
+            x = cplx.CPair(xr.reshape(self.img_shape),
+                           xi.reshape(self.img_shape))
+        elif output == "host":
+            x = (np.asarray(xr).astype(np.complex64)
+                 + 1j * np.asarray(xi)).reshape(self.img_shape)
+        else:
+            raise ValueError(f"unknown output {output!r}")
         if return_resids:
             return x, np.asarray(resids)
         return x
+
+    @property
+    def last_iters(self):
+        """CG iterations taken by the most recent solve (tol-stopped runs
+        report the on-device count; fetched lazily on first access)."""
+        if self._last_k is None:
+            return None
+        if not isinstance(self._last_k, (int, np.integer)):
+            self._last_k = int(np.asarray(self._last_k))
+        return self._last_k
+
+    @last_iters.setter
+    def last_iters(self, v):
+        self._last_k = v

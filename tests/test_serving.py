@@ -102,3 +102,26 @@ def test_tol_stop_and_jacobi(pipeline):
     x_pcg = r_pcg(y)
     assert r_pcg.last_iters <= r_tol.last_iters
     assert rel_err(x_pcg, x_fixed) < 2e-4
+
+
+def test_device_output(pipeline):
+    """output='device' returns device-resident f32 planes identical to the
+    host delivery, without forcing the volume over the host link; the
+    iteration count stays available (lazily synced)."""
+    from indigo_tpu import cplx
+
+    recon, maps, img_shape = pipeline
+    n = img_shape[0]
+    yy, xx = np.mgrid[0:n, 0:n] / n
+    x_true = np.exp(-(((xx - .5) ** 2 + (yy - .5) ** 2) * 9)).astype(
+        np.complex64)
+    y = recon.simulate(x_true)
+
+    x_host = recon(y)
+    xd = recon(y, output="device")
+    assert cplx.iscpair(xd) and xd.shape == img_shape
+    back = np.asarray(xd.re) + 1j * np.asarray(xd.im)
+    np.testing.assert_allclose(back, x_host, rtol=0, atol=1e-6)
+    assert recon.last_iters is not None
+    with pytest.raises(ValueError):
+        recon(y, output="banana")
