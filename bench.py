@@ -521,9 +521,15 @@ def main():
         cfgs["toeplitz_128"] = base["value"]
 
     if cpu:
+        aux = "--aux" in sys.argv   # only the gridded/tile lanes (fast)
         if huge:
             r = run_config(256, cpu=True)
             cfgs["toeplitz_256"] = r["ips"]
+        elif aux:
+            cfgs["gridded2d_128"] = run_gridded_2d(cpu=True)["ips"]
+            t = run_tile_3d(cpu=True)
+            cfgs["tile3d_128_fwd"] = t["fwd"]
+            r = {"ips": cfgs.get("toeplitz_128", 0.0)}
         else:
             r = run_config(128, cpu=True)
             cfgs["toeplitz_128"] = r["ips"]

@@ -32,10 +32,16 @@ the 183 recorded mid-round was a short-span min-estimator artifact).
 Axes longer than 128 use a radix-2 stage factorization (see _Stage): four
 half-size matmuls at full 128-deep MXU utilization plus a VPU butterfly —
 2x fewer MXU FLOPs where the matmul-DFT's O(n)-per-element work would
-otherwise dominate (256^3 measured MXU-bound). The forward radix halves
-merge their two constant matrices side-by-side ([Fm | Fm*tw]) so each
-input half is one 9-pass matmul with its operand split hi/lo exactly
-once. Probed dead ends (tools/dot_probe.py, tools/kern_micro.py at
+otherwise dominate (256^3 measured MXU-bound). Every twiddle diagonal
+(|tw| = 1) is folded into the bf16 constant packs on the host, so kernel
+bodies do no twiddle arithmetic — butterfly adds and matmuls only
+(256^3 nc=4 apply: 30.4 -> 28.4 ms). fwd_M additionally merges its two
+constant matrices per input half ([Fm ; tw*Fm]) so each half is one
+9-pass matmul with its operand split hi/lo exactly once. Radix bodies
+run their per-tile stage loop ROLLED (~9% faster at 256^3 — unrolling
+the ~3x-bigger radix bodies defeats Mosaic's scheduling), plain <=128
+bodies unrolled (~13% faster at 128^3); see _stage_unroll. Probed dead
+ends (tools/dot_probe.py, tools/kern_micro.py at
 256^3): merging the four inverse half-products into one wide matmul is
 slower (VMEM concat copies exceed the split savings; see _Stage.apply),
 rank-3 dot_general forms lower but run ~2x slower than per-row dots, and
@@ -57,6 +63,7 @@ cuFFT/DFTI batched-FFT stage (SURVEY.md §2 native checklist row 3) — a
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -71,6 +78,28 @@ from .dft_fft import dft_pad2x_mats, block_spectrum
 __all__ = ["pallas_spectrum", "toeplitz_apply_pallas",
            "sense_normal_pallas", "pallas_supported", "uses_sigma_basis",
            "to_sigma_basis", "from_sigma_basis", "solver_sigma_axes"]
+
+
+# Stage-loop unrolling inside the kernels ("auto" | "always" | "never").
+# Mosaic schedules the rolled loop with less code bloat; measured on v5e the
+# better mode depends on transform length (see _stage_unroll).
+_UNROLL_MODE = os.environ.get("INDIGO_DFT_UNROLL", "auto")
+
+
+def _stage_unroll(img_shape, interpret) -> bool:
+    """Whether the kernels unroll their per-tile stage loop."""
+    if interpret:
+        return False
+    if _UNROLL_MODE == "always":
+        return True
+    if _UNROLL_MODE == "never":
+        return False
+    # measured on v5e (full sense_normal_pallas apply): radix-factorized
+    # sizes run ~9% faster ROLLED (256^3 nc=4: 30.4 vs 33.3 ms — the
+    # radix bodies are ~3x the code; unrolling defeats Mosaic's scheduling)
+    # while plain <=128 sizes run ~13% faster UNROLLED (128^3 nc=8:
+    # 6.33 vs 7.16 ms).
+    return max(img_shape) <= 128
 
 
 def pallas_spectrum(Tf: np.ndarray) -> np.ndarray:
@@ -341,13 +370,17 @@ class _Stage:
         t = np.exp(-1j * np.pi * j / self.n)
         te, to = t[0::2], t[1::2]
         w = np.exp(-2j * np.pi * jm / self.n)
-        # twiddle vectors ride along as one stacked kernel input (Pallas
-        # forbids captured vector constants); oriented for broadcast
+        # ALL twiddle diagonals are folded into the constant packs on the
+        # host (|tw|=1, so the bf16 pack magnitudes are unchanged): the
+        # kernels do zero twiddle arithmetic — only butterflies (adds) and
+        # the half-size matmuls. The folded side follows from operand
+        # orientation: out = P@x folds diag(w) into P's rows, out = x@P
+        # into P's columns, etc.
         lanes = role in ("fwd_T", "inv_T")
         if role.startswith("fwd"):
             Fm = np.exp(-2j * np.pi * np.outer(jm, jm) / m)
             # fwd_M merges its packs: the even-input half multiplies
-            # [Fm ; Fm*te] and the odd half [Fm ; Fm*to] in ONE 9-pass
+            # [Fm ; Fm*te] and the odd half [w*Fm ; w*Fm*to] in ONE 9-pass
             # complex matmul each (outputs stacked on sublanes) — same
             # MACs as four separate m-wide matmuls, half the MXU
             # instructions and half the operand-split VPU work (kernel A
@@ -356,30 +389,30 @@ class _Stage:
             # fwd_T keeps four narrow matmuls with shared operand splits.
             self.merged = role == "fwd_M"
             if self.merged:
-                mats = [np.concatenate([Fm, Fm * tv[None, :]], axis=0)
-                        for tv in (te, to)]
+                mats = [np.concatenate([Fm, Fm * te[None, :]], axis=0),
+                        np.concatenate([Fm * w[:, None],
+                                        Fm * to[None, :] * w[:, None]],
+                                       axis=0)]
             else:
                 mats = [M.T for M in
-                        (Fm, Fm * te[None, :], Fm * to[None, :])]
+                        (Fm, Fm * te[None, :],
+                         Fm * w[:, None],
+                         Fm * to[None, :] * w[:, None])]
             self.packs = [_pack(M.astype(np.complex64)) for M in mats]
-            self.packs.append(self._tw(lanes, w))
         else:
             Fim = 0.25 * np.exp(2j * np.pi * np.outer(jm, jm) / m) / m
-            M = Fim if role == "inv_M" else Fim.T
-            self.packs = [_pack(M.astype(np.complex64)),
-                          self._tw(lanes, np.conj(w), np.conj(te),
-                                   np.conj(to))]
-
-    @staticmethod
-    def _tw(lanes, *vs):
-        """Stack re/im parts of twiddle vectors: (2k, 1, m) or (2k, m, 1)."""
-        parts = []
-        for a in vs:
-            a = np.asarray(a, np.complex64)
-            shape = (1, len(a)) if lanes else (len(a), 1)
-            parts += [a.real.astype(np.float32).reshape(shape),
-                      a.imag.astype(np.float32).reshape(shape)]
-        return np.ascontiguousarray(np.stack(parts))
+            vw, vte, vto = np.conj(w), np.conj(te), np.conj(to)
+            if role == "inv_M":             # out = P @ x
+                mats = [Fim,                        # A_e
+                        Fim * vte[:, None],         # te ∘ B_e
+                        Fim * vw[None, :],          # A_o (input fold)
+                        Fim * vw[None, :] * vto[:, None]]   # to ∘ B_o
+            else:                            # inv_T: out = x @ P (P = Fim.T)
+                mats = [Fim.T,
+                        Fim.T * vte[None, :],
+                        Fim.T * vw[:, None],
+                        Fim.T * vw[:, None] * vto[None, :]]
+            self.packs = [_pack(M.astype(np.complex64)) for M in mats]
 
     def apply(self, xr, xi, refs):
         """Kernel-side: refs are the VMEM pack refs (len == len(self.packs));
@@ -402,46 +435,39 @@ class _Stage:
             sp_hi = _csplit(hir, hii)
             if self.merged:
                 # one merged 9-pass matmul per input half: lo -> [E ; Ep],
-                # hi -> [O ; Op]; each operand split hi/lo exactly once
+                # hi -> [TO ; TP] (w pre-folded); each operand split hi/lo
+                # exactly once
                 qlo, qhi = refs[0][...], refs[1][...]
                 Lr, Li = _cmm_pre(sp_lo, qlo, dn, const_lhs=lhs)
                 Hr, Hi = _cmm_pre(sp_hi, qhi, dn, const_lhs=lhs)
                 blk = lambda a, i: a[i * m:(i + 1) * m]
                 Er, Epr = blk(Lr, 0), blk(Lr, 1)
                 Ei, Epi = blk(Li, 0), blk(Li, 1)
-                Or_, Opr = blk(Hr, 0), blk(Hr, 1)
-                Oi_, Opi = blk(Hi, 0), blk(Hi, 1)
-                tw = refs[2][...]
+                TOr, TPr = blk(Hr, 0), blk(Hr, 1)
+                TOi, TPi = blk(Hi, 0), blk(Hi, 1)
             else:
                 # four narrow matmuls (shared splits): the fwd_T lane-side
                 # merge measured slower — see __init__
-                q0, q1, q2 = (refs[i][...] for i in range(3))
+                q0, q1, q2, q3 = (refs[i][...] for i in range(4))
                 Er, Ei = _cmm_pre(sp_lo, q0, dn, const_lhs=lhs)
-                Or_, Oi_ = _cmm_pre(sp_hi, q0, dn, const_lhs=lhs)
                 Epr, Epi = _cmm_pre(sp_lo, q1, dn, const_lhs=lhs)
-                Opr, Opi = _cmm_pre(sp_hi, q2, dn, const_lhs=lhs)
-                tw = refs[3][...]
-            wr, wi = tw[0], tw[1]
+                TOr, TOi = _cmm_pre(sp_hi, q2, dn, const_lhs=lhs)
+                TPr, TPi = _cmm_pre(sp_hi, q3, dn, const_lhs=lhs)
             cat = functools.partial(jnp.concatenate,
                                     axis=1 if lanes else 0)
-            TOr = wr * Or_ - wi * Oi_
-            TOi = wr * Oi_ + wi * Or_
-            TPr = wr * Opr - wi * Opi
-            TPi = wr * Opi + wi * Opr
             return (cat([Er + TOr, Er - TOr, Epr + TPr, Epr - TPr]),
                     cat([Ei + TOi, Ei - TOi, Epi + TPi, Epi - TPi]))
-        # inverse roles: fold + 4 half matmuls + conj-twiddle combine.
-        # (Measured dead end, kept for the record: concatenating the four
-        # data blocks into ONE wide matmul — they share the constant — is
-        # SLOWER (kernel B 43.6 -> 46.5 ms at 256^3): the VMEM concat
-        # copies cost more than the saved operand splits, and narrow
-        # back-to-back dots already stream the MXU at ~91 T MAC/s.)
+        # inverse roles: fold + 4 half matmuls; every conj-twiddle diagonal
+        # is pre-folded into the four constant packs, so the combine is
+        # pure adds. (Measured dead end, kept for the record: concatenating
+        # the four data blocks into ONE wide matmul — they share the
+        # constant — is SLOWER (kernel B 43.6 -> 46.5 ms at 256^3): the
+        # VMEM concat copies cost more than the saved operand splits, and
+        # narrow back-to-back dots already stream the MXU at ~91 T MAC/s.)
         lanes = role == "inv_T"
         dn = _DN
         lhs = not lanes
-        q = refs[0][...]
-        tw = refs[1][...]
-        vr, vi, ter, tei, tor, toi = (tw[i] for i in range(6))
+        q, q_te, q_w, q_wto = (refs[i][...] for i in range(4))
 
         def seg(a, i):
             s = slice(i * m, (i + 1) * m)
@@ -452,18 +478,18 @@ class _Stage:
                       seg(Xi, i0) + seg(Xi, i0 + 1))
             dr, di = (seg(Xr, i0) - seg(Xr, i0 + 1),
                       seg(Xi, i0) - seg(Xi, i0 + 1))
-            gr = vr * dr - vi * di
-            gi = vr * di + vi * dr
-            er, ei = _cmm(sr, si, q, dn, const_lhs=lhs)
-            or_, oi_ = _cmm(gr, gi, q, dn, const_lhs=lhs)
-            return er, ei, or_, oi_
+            return _csplit(sr, si), _csplit(dr, di)
 
-        Aer, Aei, Aor, Aoi = half(xr, xi, 0)
-        Ber, Bei, Bor, Boi = half(xr, xi, 2)
-        lo_r = Aer + ter * Ber - tei * Bei    # even output positions
-        lo_i = Aei + ter * Bei + tei * Ber
-        hi_r = Aor + tor * Bor - toi * Boi    # odd output positions
-        hi_i = Aoi + tor * Boi + toi * Bor
+        spA_s, spA_d = half(xr, xi, 0)
+        spB_s, spB_d = half(xr, xi, 2)
+        Aer, Aei = _cmm_pre(spA_s, q, dn, const_lhs=lhs)      # A_e
+        Ber, Bei = _cmm_pre(spB_s, q_te, dn, const_lhs=lhs)   # te ∘ B_e
+        Aor, Aoi = _cmm_pre(spA_d, q_w, dn, const_lhs=lhs)    # A_o
+        Bor, Boi = _cmm_pre(spB_d, q_wto, dn, const_lhs=lhs)  # to ∘ B_o
+        lo_r = Aer + Ber                      # even output positions
+        lo_i = Aei + Bei
+        hi_r = Aor + Bor                      # odd output positions
+        hi_i = Aoi + Boi
 
         # emit the contiguous even|odd block concat (sigma order): in-VMEM
         # interleaves measured SLOWER than keeping the whole solve in the
@@ -582,6 +608,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     assert maps.shape[1:] == (n1, n2, n3), (maps.shape, v.shape)
     assert pallas_supported((n1, n2, n3)), (n1, n2, n3)
     xt = yt = zt = _TILE
+    unroll = _stage_unroll((n1, n2, n3), interpret)
     B = S * nc
     sig_ax = tuple(1 + ax for ax in _sigma_axes((n1, n2, n3)))
 
@@ -614,7 +641,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     pA = st1.packs + st2.packs
     a_out = [jax.ShapeDtypeStruct((B, 2 * n2, n3, 2 * n1), jnp.float32)] * 2
     ar, ai = pl.pallas_call(
-        _make_kernel_A_fused(st1, st2, unroll=not interpret),
+        _make_kernel_A_fused(st1, st2, unroll=unroll),
         grid=(S, n3 // xt, nc),
         in_specs=[
             pl.BlockSpec((1, xt, n1, n2), lambda s, t, c: (s, t, 0, 0),
@@ -639,7 +666,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     pB = st3.packs + st4.packs
     b_out = [jax.ShapeDtypeStruct((B, n1, 2 * n2, 2 * n3), jnp.float32)] * 2
     br, bi = pl.pallas_call(
-        _make_kernel_B(st3, st4, unroll=not interpret),
+        _make_kernel_B(st3, st4, unroll=unroll),
         grid=(2 * n2 // yt, B),
         in_specs=[
             pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
@@ -661,7 +688,7 @@ def sense_normal_pallas(Tfp, maps, v, interpret=False, sigma=False):
     pC = st5.packs + st6.packs
     c_out = [jax.ShapeDtypeStruct((S, n1, n2, n3), jnp.float32)] * 2
     cr, ci = pl.pallas_call(
-        _make_kernel_C_fused(st5, st6, unroll=not interpret),
+        _make_kernel_C_fused(st5, st6, unroll=unroll),
         grid=(S, n1 // zt, nc),
         in_specs=[
             pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
@@ -703,6 +730,7 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     B, n1, n2, n3 = u.shape
     assert pallas_supported((n1, n2, n3)), (n1, n2, n3)
     xt = yt = zt = _TILE
+    unroll = _stage_unroll((n1, n2, n3), interpret)
     sig_ax = tuple(1 + ax for ax in _sigma_axes((n1, n2, n3)))
 
     st1 = _get_stage(n1, "fwd_T")
@@ -729,7 +757,7 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     pA = st1.packs + st2.packs
     a_out = [jax.ShapeDtypeStruct((B, 2 * n2, n3, 2 * n1), jnp.float32)] * 2
     ar, ai = pl.pallas_call(
-        _make_kernel_A(st1, st2, unroll=not interpret),
+        _make_kernel_A(st1, st2, unroll=unroll),
         grid=(B, n3 // xt),
         in_specs=[
             pl.BlockSpec((1, xt, n1, n2), lambda b, t: (b, t, 0, 0),
@@ -751,7 +779,7 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     pB = st3.packs + st4.packs
     b_out = [jax.ShapeDtypeStruct((B, n1, 2 * n2, 2 * n3), jnp.float32)] * 2
     br, bi = pl.pallas_call(
-        _make_kernel_B(st3, st4, unroll=not interpret),
+        _make_kernel_B(st3, st4, unroll=unroll),
         grid=(2 * n2 // yt, B),
         in_specs=[
             pl.BlockSpec((1, yt, n3, 2 * n1), lambda t, b: (b, t, 0, 0),
@@ -773,7 +801,7 @@ def toeplitz_apply_pallas(Tfp, u, interpret=False, sigma=False):
     pC = st5.packs + st6.packs
     c_out = [jax.ShapeDtypeStruct((B, n1, n2, n3), jnp.float32)] * 2
     cr, ci = pl.pallas_call(
-        _make_kernel_C(st5, st6, unroll=not interpret),
+        _make_kernel_C(st5, st6, unroll=unroll),
         grid=(B, n1 // zt),
         in_specs=[
             pl.BlockSpec((1, zt, 2 * n2, 2 * n3),
