@@ -197,13 +197,14 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
 
 
 def sense_nufft_op(traj, maps, oversamp=1.5, width=4, beta=None, sort=True,
-                   fft="auto"):
+                   fft="auto", interp="auto", col_tiling=None):
     """Multi-coil SENSE NUFFT operator: (ncoil*M, prod(img)).
 
     maps: (ncoil, *img_shape) complex coil sensitivities.
     A = KronI(nc, G Fc Z) . VStack([Diag(Da * map_c)]) — the deapodization
     is folded into the per-coil diagonals (one fewer pass over the image,
     the kind of fusion the reference's RealizeMatrices pass chased).
+    ``fft``/``interp``/``col_tiling`` pass through to :func:`nufft_op`.
     """
     maps = np.asarray(maps)
     nc = maps.shape[0]
@@ -212,7 +213,8 @@ def sense_nufft_op(traj, maps, oversamp=1.5, width=4, beta=None, sort=True,
     # deapodization into the per-coil map diagonals (one fewer image pass)
     G_FcZ, plan = nufft_op(
         traj, img_shape, oversamp=oversamp, width=width, beta=beta,
-        sort=sort, deapod=False, fft=fft)
+        sort=sort, deapod=False, fft=fft, interp=interp,
+        col_tiling=col_tiling)
     coils = VStack(
         [Diag((plan.deapod * maps[c]).ravel().astype(np.complex64),
               name=f"Map{c}") for c in range(nc)],
