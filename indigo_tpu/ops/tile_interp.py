@@ -145,10 +145,13 @@ jax.tree_util.register_pytree_node(
 # expanded-weight scratch bound for the binned adjoint's class chunking
 _BIN_SCRATCH_ELEMS = 1 << 26
 
-# padded entry-count classes for the binned adjoint: small ladder + a cap,
-# tiles denser than the cap span several rows (keeps the per-class batched
-# matmul scratch bounded and the padding waste <= 4x)
-_BIN_WIDTHS = (8, 32, 128, 512, 2048)
+# padded entry-count classes for the binned adjoint: power-of-2 ladder + a
+# cap, tiles denser than the cap span several rows. Every per-entry cost
+# (the packed row gather, the batched matmul, the row write) scales with
+# PADDED entries, so the ladder is kept fine: the old (8,32,128,512,2048)
+# ladder padded 2.1M true entries to 4.2M at 128^3 radial scale (measured);
+# the power-of-2 ladder bounds the waste at 2x worst-case, ~1.3x typical.
+_BIN_WIDTHS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
 def build_tile_adj_bins(corner, soff, M):
@@ -477,11 +480,20 @@ def _adjoint_binned(plan, y, K, NT):
     nd = len(plan.tile)
     T = plan.tile
     nsup = [w.shape[1] for w in plan.wfac]
-    yp = jnp.concatenate(
-        [y.astype(jnp.float32), jnp.zeros((1, K), jnp.float32)])
-    # zero-sentinel-padded flat per-axis factors: ((M+1)*n_d, t_d)
-    wff = [jnp.concatenate([w, jnp.zeros((1,) + w.shape[1:], w.dtype)])
-           .reshape((M + 1) * w.shape[1], w.shape[2]) for w in plan.wfac]
+    # ONE packed gather table: row m = [y_m | wfac_0[m].flat | ... |
+    # wfac_{nd-1}[m].flat], plus a zero sentinel row at M. The per-entry
+    # gather cost on TPU is per ROW, near-independent of width (measured
+    # ~20 ns/row at these widths), so fetching y and all nd factor rows in
+    # one gather instead of nd+1 separate ones cuts the dominant stage ~4x
+    # (83 ms y-gather + 195 ms factor-gathers -> one ~90 ms gather at
+    # 128^3/K=16). The slot's factor sub-row is then picked with selects
+    # (nsup_d is 2-3), not another gather.
+    segs = [y.astype(jnp.float32)] + [
+        w.reshape(w.shape[0], -1) for w in plan.wfac]
+    offs = np.concatenate([[K], K + np.cumsum(
+        [n * t for n, t in zip(nsup, T)])]).astype(int)
+    P = jnp.concatenate(segs, axis=1)
+    P = jnp.concatenate([P, jnp.zeros((1, P.shape[1]), jnp.float32)])
 
     out = jnp.zeros((NT, K * 128), jnp.float32)
     for tids, idx, slot, w in zip(bins.tile_ids, bins.idx, bins.slot,
@@ -490,13 +502,19 @@ def _adjoint_binned(plan, y, K, NT):
             idx_c, slot_c = args                     # (r, w) int32/int8
             idx_c = idx_c.astype(jnp.int32)
             sl = slot_c.astype(jnp.int32)
-            yg = yp[idx_c]                           # (r, w, K)
+            g = P[idx_c]                             # (r, w, K+sum n_d*t_d)
+            yg = g[..., :K]
             W = None
             div = 1
             for d in range(nd - 1, -1, -1):
                 sd = (sl // div) % nsup[d]
                 div *= nsup[d]
-                wd = wff[d][idx_c * nsup[d] + sd]    # (r, w, t_d)
+                seg = g[..., offs[d]:offs[d] + nsup[d] * T[d]]
+                seg = seg.reshape(seg.shape[:2] + (nsup[d], T[d]))
+                wd = seg[:, :, 0, :]                 # (r, w, t_d)
+                for j in range(1, nsup[d]):
+                    wd = jnp.where((sd == j)[..., None],
+                                   seg[:, :, j, :], wd)
                 wd = _expand_lanes(wd, d, T, nd)     # (r, w, 128)
                 W = wd if W is None else W * wd
             # full-f32 contraction: the MXU's default bf16 rounding costs
