@@ -494,6 +494,12 @@ def _adjoint_binned(plan, y, K, NT):
         [n * t for n, t in zip(nsup, T)])]).astype(int)
     P = jnp.concatenate(segs, axis=1)
     P = jnp.concatenate([P, jnp.zeros((1, P.shape[1]), jnp.float32)])
+    # Row-gather widths in [25, 63] hit a pathological XLA lowering on
+    # large tables (measured on v5e at 2^20 rows: 51-76 ns/row vs 6-11
+    # ns/row at widths <=24 or >=64 — a 7x cliff); zero-pad the packed
+    # row to the next multiple of 64 to stay in the fast regime.
+    if P.shape[1] > 24 and P.shape[1] % 64:
+        P = jnp.pad(P, ((0, 0), (0, 64 - P.shape[1] % 64)))
 
     out = jnp.zeros((NT, K * 128), jnp.float32)
     for tids, idx, slot, w in zip(bins.tile_ids, bins.idx, bins.slot,
