@@ -162,8 +162,15 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
             interp = "tile" if est > SpMatrix.MAX_TILE_BYTES else "sparse"
     if interp == "tile":
         from ..ops.tile_interp import plan_tile_interp
-        G = KBInterp(plan_tile_interp(traj_s, grid_shape, width=width,
-                                      beta=beta), name="Gridding")
+        # reorder=True: the plan groups samples by super-tile span so the
+        # forward skips its output-reorder gather; fold the group
+        # permutation into this operator's sample order (perm/traj_s)
+        tplan = plan_tile_interp(traj_s, grid_shape, width=width,
+                                 beta=beta, reorder=True)
+        if tplan.sample_perm is not None:
+            perm = perm[tplan.sample_perm]
+            traj_s = traj_s[tplan.sample_perm]
+        G = KBInterp(tplan, name="Gridding")
     else:
         Gcsr = interp_mat(traj_s, grid_shape, width=width, beta=beta)
         if tile is not None:

@@ -84,6 +84,49 @@ jax.tree_util.register_pytree_node(
     TileAdjBins.tree_unflatten)
 
 
+class FwdGroups:
+    """Span-grouped forward layout.
+
+    A sample's patch covers a PREFIX of super-tile members along each axis
+    (member 0 always, member j iff the patch crosses j tile boundaries), so
+    samples partition into prod(nsup) groups by their per-axis span counts;
+    within a group every kept (sample, slot) pair carries live weight. The
+    forward then gathers ~4.2 of S=8 rows per sample instead of all 8 —
+    the op is row-gather-bound, so that is a direct ~1.9x.
+
+    Per group g: tids[g] (m_g, S_g) int32, wfacs[g] list of nd arrays
+    (m_g, c_d, t_d). ginv (M,) int32 restores plan sample order from the
+    group-concatenated output: y = concat(group outputs)[ginv].
+    """
+
+    def __init__(self, tids, wfacs, ginv):
+        self.tids = tuple(tids)
+        self.wfacs = tuple(tuple(w) for w in wfacs)
+        self.ginv = ginv
+
+    def memusage(self):
+        return int(sum(t.nbytes for t in self.tids)
+                   + sum(w.nbytes for ws in self.wfacs for w in ws)
+                   + self.ginv.nbytes)
+
+    def tree_flatten(self):
+        return ((self.tids, self.wfacs, self.ginv), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        tids, wfacs, obj.ginv = children
+        obj.tids = tuple(tids)
+        obj.wfacs = tuple(tuple(w) for w in wfacs)
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    FwdGroups,
+    lambda g: g.tree_flatten(),
+    FwdGroups.tree_unflatten)
+
+
 class TileInterpPlan:
     """Host-built geometry for the tile-gather interpolation.
 
@@ -92,15 +135,21 @@ class TileInterpPlan:
       wfac: list of d arrays (M, n_d, t_d) f32 — per-axis KB weights scattered
             into super-tile-extent position (zero outside the patch)
       bins: optional :class:`TileAdjBins` for the scatter-free adjoint
+      fgroups: optional :class:`FwdGroups` for the span-grouped forward
     Static geometry: grid_shape, tile, ext (halo-extended dims), nt (tiles
     per axis), pad_lo (halo below), width.
     """
 
     def __init__(self, tid, wfac, grid_shape, tile, ext, nt, pad_lo, width,
-                 bins=None):
+                 bins=None, fgroups=None):
         self.tid = tid
         self.wfac = tuple(wfac)
         self.bins = bins
+        self.fgroups = fgroups
+        # host-only build metadata (not part of the pytree): the sample
+        # permutation applied by plan_tile_interp(reorder=True); callers
+        # compose it into their own sample mapping at build time
+        self.sample_perm = None
         self.grid_shape = tuple(int(g) for g in grid_shape)
         self.tile = tuple(int(t) for t in tile)
         self.ext = tuple(int(e) for e in ext)
@@ -119,20 +168,23 @@ class TileInterpPlan:
     def memusage(self):
         return (self.tid.nbytes
                 + sum(int(w.nbytes) for w in self.wfac)
-                + (self.bins.memusage() if self.bins is not None else 0))
+                + (self.bins.memusage() if self.bins is not None else 0)
+                + (self.fgroups.memusage() if self.fgroups is not None
+                   else 0))
 
     def tree_flatten(self):
-        return ((self.tid, self.wfac, self.bins),
+        return ((self.tid, self.wfac, self.bins, self.fgroups),
                 (self.grid_shape, self.tile, self.ext, self.nt,
                  self.pad_lo, self.width))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.tid, wfac, obj.bins = children
+        obj.tid, wfac, obj.bins, obj.fgroups = children
         obj.wfac = tuple(wfac)
         (obj.grid_shape, obj.tile, obj.ext, obj.nt, obj.pad_lo,
          obj.width) = aux
+        obj.sample_perm = None
         return obj
 
 
@@ -214,7 +266,7 @@ def build_tile_adj_bins(corner, soff, M, touch=None):
 
 
 def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
-                     adjoint="binned"):
+                     adjoint="binned", forward="grouped", reorder=False):
     """Build a :class:`TileInterpPlan` (host-side, vectorized numpy).
 
     Same geometry/weight conventions as :func:`indigo_tpu.noncart.interp_mat`
@@ -226,6 +278,15 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
     :class:`TileAdjBins` layout so the adjoint runs scatter-free (gathers +
     per-class batched matmuls; ~10x the TPU scatter path at serving scale);
     ``'scatter'`` keeps only the row-scatter formulation.
+    ``forward='grouped'`` (default) additionally builds :class:`FwdGroups`
+    so the forward gathers only covered super-tile rows (~1.9x fewer);
+    ``'dense'`` keeps only the fixed-S formulation.
+    ``reorder=True`` permutes the plan's sample order to group-major so
+    the grouped forward needs no output reorder gather (a measured ~4 ms
+    at 262k samples); the applied permutation is exposed as
+    ``plan.sample_perm`` (host-only, None when identity) and the caller
+    must compose it into its own sample mapping — y rows then correspond
+    to ``traj[plan.sample_perm]``.
     """
     from ..noncart import kaiser_bessel, beatty_beta
 
@@ -279,6 +340,18 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
         touch_d.append((off_in[:, None] < (j[None, :] + 1) * t)
                        & (off_in[:, None] + width > j[None, :] * t))
 
+    sample_perm = None
+    if forward == "grouped" and reorder:
+        code = np.zeros(M, dtype=np.int64)
+        for d in range(nd):
+            code = code * nsup[d] + (touch_d[d].sum(axis=1) - 1)
+        order = np.argsort(code, kind="stable")
+        if not np.array_equal(order, np.arange(M)):
+            sample_perm = order
+            wfac = [w[order] for w in wfac]
+            tblk = [t[order] for t in tblk]
+            touch_d = [t[order] for t in touch_d]
+
     # linear tile ids of the super-tile corner offsets (static pattern)
     corner = np.zeros(M, dtype=np.int64)
     for d in range(nd):
@@ -298,11 +371,48 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
         bins = build_tile_adj_bins(corner, soff, M, touch=touch)
     else:
         bins = None
-    return TileInterpPlan(
+
+    fgroups = None
+    if forward == "grouped":
+        # coverage is a prefix of members along each axis, so the span
+        # counts (c_0..c_{nd-1}) partition samples into at most prod(nsup)
+        # fixed-shape groups (see FwdGroups)
+        code = np.zeros(M, dtype=np.int64)
+        for d in range(nd):
+            code = code * nsup[d] + (touch_d[d].sum(axis=1) - 1)
+        order = np.argsort(code, kind="stable")
+        oc = code[order]
+        ustart = np.concatenate([[0], np.flatnonzero(np.diff(oc)) + 1])
+        uend = np.concatenate([ustart[1:], [M]])
+        tids_g, wfacs_g = [], []
+        for cstart, cend in zip(ustart, uend):
+            sel = order[cstart:cend]
+            cds, rem = [], int(oc[cstart])
+            for d in range(nd - 1, -1, -1):
+                cds.append(rem % nsup[d] + 1)
+                rem //= nsup[d]
+            cds = np.array(cds[::-1])
+            # kept slots in ascending-s order = row-major order of the
+            # prefix box, matching _lane_weights' member enumeration
+            keep = np.flatnonzero(np.all(grids < cds[:, None], axis=0))
+            tids_g.append(jnp.asarray(tid[sel][:, keep].astype(np.int32)))
+            wfacs_g.append([jnp.asarray(wfac[d][sel][:, :cds[d], :])
+                            for d in range(nd)])
+        if np.array_equal(order, np.arange(M)):
+            ginv = None            # already group-major: concat IS the order
+        else:
+            pos = np.empty(M, dtype=np.int64)
+            pos[order] = np.arange(M)
+            ginv = jnp.asarray(pos.astype(np.int32))
+        fgroups = FwdGroups(tids_g, wfacs_g, ginv)
+
+    plan = TileInterpPlan(
         tid=jnp.asarray(tid.astype(np.int32)),
         wfac=[jnp.asarray(w) for w in wfac],
         grid_shape=G, tile=tile, ext=tuple(ext), nt=tuple(nt),
-        pad_lo=tuple(pad_lo), width=width, bins=bins)
+        pad_lo=tuple(pad_lo), width=width, bins=bins, fgroups=fgroups)
+    plan.sample_perm = sample_perm
+    return plan
 
 
 # above this many elements, run the (un)tiling transpose in z-slab chunks:
@@ -457,6 +567,21 @@ def _forward(plan, xt, K, chunk):
         return jnp.sum(r, axis=-1)                 # (m, K)
 
     return _map_chunks(one_chunk, plan, K, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "chunk"))
+def _forward_grouped(plan, xt, K, chunk):
+    """Span-grouped forward (see :class:`FwdGroups`): apply each
+    fixed-shape group as a dense sub-problem over its covered members
+    only, then restore plan sample order with one row gather."""
+    g = plan.fgroups
+    outs = []
+    for tid, wfac in zip(g.tids, g.wfacs):
+        sub = TileInterpPlan(tid, wfac, plan.grid_shape, plan.tile,
+                             plan.ext, plan.nt, plan.pad_lo, plan.width)
+        outs.append(_forward(sub, xt, K, chunk))
+    out = jnp.concatenate(outs, axis=0)
+    return out if g.ginv is None else out[g.ginv]
 
 
 def _expand_lanes(wd, d, T, nd):
@@ -646,4 +771,6 @@ def tile_interp_apply(plan, x, adjoint=False, chunk=None):
         return untile_grid(plan, xt, K)
     assert x.shape[0] == N, (x.shape, N)
     xt = tile_grid(plan, x)
+    if plan.fgroups is not None:
+        return _forward_grouped(plan, xt, K, chunk)
     return _forward(plan, xt, K, chunk)

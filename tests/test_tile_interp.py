@@ -51,6 +51,26 @@ def test_tile_interp_matches_csr(grid, width, rng):
     assert rel_err(adj_c, adj) < 1e-6
 
 
+def test_tile_interp_reorder_matches_csr(rng):
+    """reorder=True permutes the plan's sample order to group-major;
+    composing plan.sample_perm restores the caller's row mapping exactly
+    (the nufft_op tile path relies on this)."""
+    grid = (12, 16, 24)
+    traj = traj_with_wrap(300, 3, rng)
+    beta = noncart.beatty_beta(4, 1.5)
+    A = noncart.interp_mat(traj, grid, width=4, beta=beta, impl="numpy")
+    plan = plan_tile_interp(traj, grid, width=4, beta=beta, reorder=True)
+    sp = plan.sample_perm
+    assert sp is not None and plan.fgroups.ginv is None
+    N = int(np.prod(grid))
+    x = rand64c(N, 3, rng=rng)
+    y = rand64c(300, 3, rng=rng)
+    fwd = np.asarray(tile_interp_apply(plan, x))      # rows in plan order
+    assert rel_err(fwd, (A @ x)[sp]) < 1e-5
+    adj = np.asarray(tile_interp_apply(plan, y[sp], adjoint=True))
+    assert rel_err(adj, A.conj().T @ y) < 1e-5
+
+
 def test_tile_interp_partial_coverage(rng):
     """Trajectory confined to the lower half of one axis: the halo-extended
     extent must still cover grid + low halo (regression: negative wrap-pad
@@ -102,11 +122,18 @@ def test_nufft_op_tile_matches_sparse(rng):
                            interp="tile")
     A_s, plan_s = nufft_op(traj, img_shape, oversamp=2.0, width=4,
                            interp="sparse")
-    assert np.array_equal(plan_t.perm, plan_s.perm)
+    # the tile path composes the plan's group-major reorder into perm, so
+    # the two perms differ as sequences but map the same trajectory; all
+    # comparisons happen in ORIGINAL sample order via the inverses
+    assert np.array_equal(np.sort(plan_t.perm), np.sort(plan_s.perm))
+    inv_t = np.argsort(plan_t.perm)
+    inv_s = np.argsort(plan_s.perm)
     x = rand64c(int(np.prod(img_shape)), 2, rng=rng)
-    assert rel_err(np.asarray(A_t * x), np.asarray(A_s * x)) < 1e-5
+    assert rel_err(np.asarray(A_t * x)[inv_t],
+                   np.asarray(A_s * x)[inv_s]) < 1e-5
     y = rand64c(A_t.shape[0], 2, rng=rng)
-    assert rel_err(np.asarray(A_t.H * y), np.asarray(A_s.H * y)) < 1e-5
+    assert rel_err(np.asarray(A_t.H * y[plan_t.perm]),
+                   np.asarray(A_s.H * y[plan_s.perm])) < 1e-5
     # and the tile chain still matches the direct-DFT oracle (width-4
     # gridding accuracy is ~1e-3)
     s_ref = oracle.nufft_forward(x, plan_t.traj, img_shape)
