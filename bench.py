@@ -404,7 +404,7 @@ def run_tile_3d(n=128, cpu=False):
     grid = tuple(int(2 * round(s * 1.25 / 2)) for s in (n, n, n))
     perm = noncart.sort_trajectory(traj, grid,
                                    tile=noncart.DEFAULT_TILES[3])
-    plan = plan_tile_interp(traj[perm], grid, width=4)
+    plan = plan_tile_interp(traj[perm], grid, width=4, reorder=True)
     M = plan.n_samples
     N = int(np.prod(grid))
     log(f"tile 3D: grid={grid} samples={M} S={plan.S}")
@@ -440,14 +440,22 @@ def run_tile_3d(n=128, cpu=False):
     per_a = diff_timed(make_dir(True), (plan_d, yr, yi), k1, k2,
                        npairs=1 if cpu else 3,
                        min_span=0.0 if cpu else 0.5)
-    # roofline: the gather/scatter stream (S super-tile rows of K*128
-    # lanes per sample, K=2 for complex) + the tiled grid + plan arrays
+    # two-term speed-of-light: gather-shaped ops are ROW-bound (measured
+    # ~8 ns per gathered row) before they are byte-bound, so the floor is
+    # max(stream bytes / BW, gathered rows * GATHER_SEC_PER_ROW). The
+    # grouped forward gathers only covered super-tile rows.
+    from indigo_tpu.profiling import GATHER_SEC_PER_ROW
     NT = int(np.prod(plan.nt))
-    stream = M * plan.S * 2 * 128 * 4 + NT * 2 * 128 * 4 + plan.memusage()
-    sol_f = HBM_BYTES_PER_SEC / stream
+    if plan.fgroups is not None:
+        rows = sum(int(t.shape[0] * t.shape[1]) for t in plan.fgroups.tids)
+    else:
+        rows = M * plan.S
+    stream = rows * 2 * 128 * 4 + NT * 2 * 128 * 4 + plan.memusage()
+    floor = max(stream / HBM_BYTES_PER_SEC, rows * GATHER_SEC_PER_ROW)
+    sol_f = 1.0 / floor
     log(f"tile 3D applies/sec: fwd {1/per_f:.1f} ({per_f*1e3:.1f} ms, "
-        f"{100/(per_f*sol_f):.0f}% of gather-stream roofline), "
-        f"adj {1/per_a:.1f} ({per_a*1e3:.1f} ms)")
+        f"{100/(per_f*sol_f):.0f}% of the row-gather/stream floor "
+        f"{floor*1e3:.1f} ms), adj {1/per_a:.1f} ({per_a*1e3:.1f} ms)")
     return {"fwd": 1.0 / per_f, "adj": 1.0 / per_a,
             "fwd_roofline_frac": 1.0 / (per_f * sol_f)}
 

@@ -107,7 +107,7 @@ class FwdGroups:
     def memusage(self):
         return int(sum(t.nbytes for t in self.tids)
                    + sum(w.nbytes for ws in self.wfacs for w in ws)
-                   + self.ginv.nbytes)
+                   + (self.ginv.nbytes if self.ginv is not None else 0))
 
     def tree_flatten(self):
         return ((self.tids, self.wfacs, self.ginv), ())

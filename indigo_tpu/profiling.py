@@ -23,6 +23,7 @@ from .analyses import apply_cost
 from .operators import Operator
 
 __all__ = ["trace", "time_apply", "roofline_report", "HBM_BYTES_PER_SEC",
+           "GATHER_SEC_PER_ROW",
            "MXU_MACS_PER_SEC", "toeplitz_cg_iter_bytes",
            "toeplitz_cg_iter_macs", "measure_hbm_bandwidth"]
 
@@ -30,6 +31,12 @@ __all__ = ["trace", "time_apply", "roofline_report", "HBM_BYTES_PER_SEC",
 # MODEL speed-of-light; ``measure_hbm_bandwidth`` provides the measured
 # (achievable) figure on the current device — bench.py prints both.
 HBM_BYTES_PER_SEC = 819e9
+
+# XLA row-gather cost on v5e (best case, wide rows): measured ~6-12 ns
+# per gathered row near-independent of row width (tools/ + DESIGN.md
+# round-3 roadmap item 2); gather-shaped ops are ROW-bound, not
+# byte-bound, so their speed-of-light is max(bytes/BW, rows * this).
+GATHER_SEC_PER_ROW = 8e-9
 
 # v5e MXU peak (bf16 MAC/s; 197 TFLOP/s nominal). Back-to-back Pallas
 # dots of the kernels' exact shapes measure ~91e12 (tools/dot_probe.py,
