@@ -150,15 +150,24 @@ def main():
     # over they would become traced constants (~0.5 GB of plan arrays at
     # 256^3), which hangs this sandbox's remote compile service — the same
     # footgun models/recon.py documents for the serving pipeline
-    _measure(lambda s, G, y: interp_adj(G, s, y), (Gd, y_d),
-             "G^H (tile adj)")
+    def safe(fn, args, label):
+        # a stage that OOMs (e.g. the bad-layout coil probe at 256^3 pads
+        # (N, 1) columns 128-wide) should not kill the remaining stages
+        try:
+            _measure(fn, args, label)
+        except Exception as e:
+            print(f"{label}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]})", flush=True)
+
+    safe(lambda s, G, y: interp_adj(G, s, y), (Gd, y_d),
+         "G^H (tile adj)")
     if "--fft" in sys.argv:   # raw XLA FFT comparison lanes
-        _measure(fft_ktrail, (g_d,), "ifftn K-trailing")
-        _measure(fft_klead, (g_d,), "ifftn K-leading")
-    _measure(lambda s, C, im: coils_adj(C, s, im), (cd, im_d), "coils^H")
-    _measure(lambda s, c, y: core_adj(c, s, y), (cored, y_d),
-             "core^H (G . PadDFT)")
-    _measure(lambda s, A, ys: full(A, s, ys), (Ad, ys_d), "full A^H")
+        safe(fft_ktrail, (g_d,), "ifftn K-trailing")
+        safe(fft_klead, (g_d,), "ifftn K-leading")
+    safe(lambda s, C, im: coils_adj(C, s, im), (cd, im_d), "coils^H")
+    safe(lambda s, c, y: core_adj(c, s, y), (cored, y_d),
+         "core^H (G . PadDFT)")
+    safe(lambda s, A, ys: full(A, s, ys), (Ad, ys_d), "full A^H")
 
 
 if __name__ == "__main__":
