@@ -89,6 +89,23 @@ class Operator:
         """Pure apply: x (N, K) -> y (M, K); adjoint applies A^H."""
         raise NotImplementedError
 
+    def cost(self, ncols: int = 1):
+        """(flops, hbm_bytes) estimate for ONE forward apply with K columns.
+
+        Part of the operator contract: :func:`indigo_tpu.analyses.apply_cost`
+        walks the tree through this method, and its totals are the roofline
+        denominators in bench.py — so a missing implementation must fail
+        loudly here rather than silently contribute zero (a new leaf that
+        forgot its cost would otherwise corrupt every speed-of-light figure
+        downstream). Complex multiply-add counts as 8 flops.
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} defines no cost(); implement it so "
+            f"analyses.apply_cost / the bench rooflines stay truthful")
+
+    def _isz(self):
+        return np.dtype(self.dtype).itemsize
+
     # ---- reference-compatible surface ---------------------------------
     def eval(self, x, alpha=1.0, beta=0.0, y=None, forward=True):
         """Functional y' = alpha * op(x) + beta * y (reference: Operator.eval)."""
@@ -225,6 +242,15 @@ class SpMatrix(Operator):
         from .ops import spmm  # dispatches jnp vs Pallas
         return spmm(self._ellH if adjoint else self._ell, x)
 
+    def cost(self, ncols=1):
+        ell, K, isz = self._ell, ncols, self._isz()
+        stored = ell.data.size
+        flops = 8 * stored * K  # MXU does the whole stored tile
+        idx_bytes = ell.memusage() - ell.data.nbytes
+        bytes_ = (ell.data.nbytes + idx_bytes
+                  + (self.shape[0] + self.shape[1]) * K * isz)
+        return flops, bytes_
+
     def _describe(self):
         base = super()._describe()
         return f"{base} nnz={self._ell.nnz} fill={self._ell.fill_fraction():.3f}"
@@ -276,6 +302,20 @@ class KBInterp(Operator):
         from .ops.tile_interp import tile_interp_apply
         return tile_interp_apply(self._plan, x, adjoint=adjoint)
 
+    def cost(self, ncols=1):
+        # tile-gather interpolation: each sample reads/accumulates S
+        # super-tile rows of K*128 lanes + its factored weights; the
+        # tiled grid is streamed once per direction
+        plan, K = self._plan, ncols
+        M, S = plan.n_samples, plan.S
+        NT = int(np.prod(plan.nt))
+        isz = 8  # complex64 in/out vectors
+        gather = M * S * K * 128 * 4
+        flops = 2 * M * S * K * 128
+        bytes_ = (gather + plan.memusage() + NT * K * 128 * 4
+                  + (self.shape[0] + self.shape[1]) * K * isz)
+        return flops, bytes_
+
     def _describe(self):
         base = super()._describe()
         p = self._plan
@@ -322,6 +362,11 @@ class DenseMatrix(Operator):
             A = A.conj().T
         return jnp.matmul(A, x, precision="highest")
 
+    def cost(self, ncols=1):
+        m, n = self.shape
+        K, isz = ncols, self._isz()
+        return 8 * m * n * K, (m * n + (m + n) * K) * isz
+
     def tree_flatten(self):
         return (self._A,), (self._name,)
 
@@ -366,6 +411,10 @@ class Diag(Operator):
     def apply(self, x, adjoint=False):
         d = unpack(cplx.conj(self._d) if adjoint else self._d)
         return d[:, None] * x
+
+    def cost(self, ncols=1):
+        n, K, isz = self.shape[0], ncols, self._isz()
+        return 8 * n * K, (3 * n * K + n) * isz
 
     def tree_flatten(self):
         return (self._d,), (self._name,)
@@ -416,6 +465,11 @@ class UnscaledFFT(Operator):
         else:
             y = jnp.fft.fftn(v, axes=axes)
         return y.reshape(-1, K).astype(self._dtype)
+
+    def cost(self, ncols=1):
+        n, K, isz = int(np.prod(self._vol)), ncols, self._isz()
+        flops = 5 * n * max(1, int(np.log2(max(n, 2)))) * K * 2
+        return flops, 2 * 2 * n * K * isz  # read+write, ~2 passes
 
     def _describe(self):
         return f"{self.name}{list(self._vol)} <{self.shape[0]}x{self.shape[1]}>"
@@ -496,6 +550,20 @@ class CenteredDFT(Operator):
         y = dft_nd_apply(v, mats)
         return y.reshape(K, -1).T
 
+    def cost(self, ncols=1):
+        # per-axis matmul stages over a volume morphing img -> grid:
+        # stage d contracts g_d x n_d over the mixed intermediate
+        K, isz = ncols, self._isz()
+        img, grid = self._img, self._grid
+        flops = 0
+        vol = int(np.prod(img))
+        bytes_ = self.shape[1] * K * isz
+        for n_, g_ in zip(img, grid):
+            vol = vol // n_ * g_
+            flops += 8 * vol * n_ * K
+            bytes_ += 2 * vol * K * isz + n_ * g_ * isz
+        return flops, bytes_
+
     def _describe(self):
         return (f"{self.name}{list(self._img)}->{list(self._grid)} "
                 f"<{self.shape[0]}x{self.shape[1]}>")
@@ -530,6 +598,9 @@ class Eye(Operator):
 
     def apply(self, x, adjoint=False):
         return x
+
+    def cost(self, ncols=1):
+        return 0, 0
 
     def tree_flatten(self):
         return (), (self._n, str(self._dtype), self._name)
@@ -568,6 +639,11 @@ class One(Operator):
         out_rows = N if adjoint else M
         s = jnp.sum(x, axis=0, keepdims=True)
         return jnp.broadcast_to(s, (out_rows, x.shape[1])).astype(self._dtype)
+
+    def cost(self, ncols=1):
+        m, n = self.shape
+        K, isz = ncols, self._isz()
+        return 2 * (m + n) * K, (m + n) * K * isz
 
     def tree_flatten(self):
         return (), (self._shape, str(self._dtype), self._name)
@@ -615,6 +691,10 @@ class Perm(Operator):
     def apply(self, x, adjoint=False):
         idx = self._ip if adjoint else self._p
         return jnp.take(x, idx, axis=0)
+
+    def cost(self, ncols=1):
+        n, K, isz = self.shape[0], ncols, self._isz()
+        return 0, (2 * n * K) * isz + n * 4
 
     def tree_flatten(self):
         return (self._p, self._ip), (str(self._dtype), self._name)
@@ -676,6 +756,10 @@ class CropPad(Operator):
         pad = [(o, b - a - o) for a, b, o in zip(self._in, self._out, offs)]
         return jnp.pad(v, pad + [(0, 0)]).reshape(-1, K)
 
+    def cost(self, ncols=1):
+        m, n = self.shape
+        return 0, (m + n) * ncols * self._isz()
+
     def _describe(self):
         return (f"{self.name}{list(self._in)}->{list(self._out)} "
                 f"<{self.shape[0]}x{self.shape[1]}>")
@@ -728,6 +812,11 @@ class Product(Operator):
             return self._B.apply(self._A.apply(x, adjoint=True), adjoint=True)
         return self._A.apply(self._B.apply(x))
 
+    def cost(self, ncols=1):
+        fa, ba = self._A.cost(ncols)
+        fb, bb = self._B.cost(ncols)
+        return fa + fb, ba + bb
+
     def tree_flatten(self):
         return (self._A, self._B), (self._name,)
 
@@ -772,6 +861,9 @@ class Adjoint(Operator):
 
     def apply(self, x, adjoint=False):
         return self._A.apply(x, adjoint=not adjoint)
+
+    def cost(self, ncols=1):
+        return self._A.cost(ncols)
 
     def tree_flatten(self):
         return (self._A,), (self._name,)
@@ -827,6 +919,10 @@ class KronI(Operator):
         xw = x.reshape(c, n, K).transpose(1, 0, 2).reshape(n, c * K)
         yw = self._A.apply(xw, adjoint=adjoint)
         return yw.reshape(m, c, K).transpose(1, 0, 2).reshape(c * m, K)
+
+    def cost(self, ncols=1):
+        f, b = self._A.cost(ncols)
+        return self._c * f, self._c * b
 
     def _describe(self):
         M, N = self.shape
@@ -887,6 +983,14 @@ class BlockDiag(Operator):
             off += n
         return jnp.concatenate(outs, axis=0)
 
+    def cost(self, ncols=1):
+        f = b = 0
+        for c in self._blocks:
+            cf, cb = c.cost(ncols)
+            f += cf
+            b += cb
+        return f, b
+
     def tree_flatten(self):
         return self._blocks, (self._name, len(self._blocks))
 
@@ -942,6 +1046,14 @@ class VStack(Operator):
             return y
         return jnp.concatenate([b.apply(x) for b in self._blocks], axis=0)
 
+    def cost(self, ncols=1):
+        f = b = 0
+        for c in self._blocks:
+            cf, cb = c.cost(ncols)
+            f += cf
+            b += cb
+        return f, b
+
     def tree_flatten(self):
         return self._blocks, (self._name, len(self._blocks))
 
@@ -996,6 +1108,14 @@ class HStack(Operator):
             off += n
         return y
 
+    def cost(self, ncols=1):
+        f = b = 0
+        for c in self._blocks:
+            cf, cb = c.cost(ncols)
+            f += cf
+            b += cb
+        return f, b
+
     def tree_flatten(self):
         return self._blocks, (self._name, len(self._blocks))
 
@@ -1041,6 +1161,9 @@ class Scale(Operator):
     def apply(self, x, adjoint=False):
         a = unpack(cplx.conj(self._alpha) if adjoint else self._alpha)
         return a * self._A.apply(x, adjoint=adjoint)
+
+    def cost(self, ncols=1):
+        return self._A.cost(ncols)
 
     def tree_flatten(self):
         return (self._alpha, self._A), (self._name,)

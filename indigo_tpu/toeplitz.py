@@ -238,6 +238,13 @@ class ToeplitzNormal(Operator):
             v = ifft_crop2x(V, axes)
         return v.reshape(-1, K).astype(jnp.complex64)
 
+    def cost(self, ncols=1):
+        K = ncols
+        big = int(np.prod(self._T.shape))
+        flops = 5 * big * max(1, int(np.log2(max(big, 2)))) * K * 4
+        # zero-aware padded round trip: ~(2+4+8)/8 passes of big + T read
+        return flops, int(1.75 * big * K * 8 * 2) + big * 4
+
     def _describe(self):
         return (f"{self.name}{list(self._vol)} <{self.shape[0]}x"
                 f"{self.shape[1]}> (2x-grid {list(self._T.shape)})")

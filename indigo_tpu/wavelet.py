@@ -115,6 +115,11 @@ class DWT(Operator):
             v = v.at[sl].set(sub)
         return v.reshape(-1, K)
 
+    def cost(self, ncols=1):
+        n, K = self.shape[0], ncols
+        isz = np.dtype(self._dtype).itemsize
+        return 16 * n * K, 4 * n * K * isz
+
     def _describe(self):
         return (f"{self.name}({self._wavelet}, L={self._levels})"
                 f"{list(self._vol)} <{self.shape[0]}x{self.shape[1]}>")

@@ -32,6 +32,56 @@ def test_apply_cost_positive(rng):
     assert flops > 0 and bytes_ > 0
 
 
+def test_apply_cost_new_leaf_fails_loudly():
+    """A leaf without cost() must raise, not silently report zero: the
+    roofline denominators in bench.py depend on every node contributing
+    (round-3 advisory: string dispatch let renamed leaves report 0)."""
+    from indigo_tpu.operators import Operator
+
+    class Mystery(Operator):
+        @property
+        def shape(self):
+            return (4, 4)
+
+        def apply(self, x, adjoint=False):
+            return x
+
+    with pytest.raises(NotImplementedError, match="cost"):
+        apply_cost(Mystery(), ncols=1)
+    # ...including when buried inside combinators
+    with pytest.raises(NotImplementedError, match="cost"):
+        apply_cost(it.KronI(2, Mystery()), ncols=1)
+
+
+def test_apply_cost_covers_every_registered_leaf(rng):
+    """Every leaf the models compose must carry a real cost (bytes > 0
+    unless structurally free like Eye)."""
+    from indigo_tpu.toeplitz import ToeplitzNormal
+    from indigo_tpu.wavelet import DWT
+    from indigo_tpu.ops.tile_interp import plan_tile_interp
+    from indigo_tpu.operators import KBInterp
+
+    traj = rng.random((32, 2)) - 0.5
+    plan = plan_tile_interp(traj, (16, 16), width=4)
+    leaves = [
+        it.SpMatrix(randM(30, 40, 0.2, rng=rng)),
+        it.Diag(rand64c(16, rng=rng)),
+        it.DenseMatrix(rand64c(8, 8, rng=rng)),
+        it.UnscaledFFT((16,)),
+        it.CenteredDFT((8,), (12,)),
+        it.One((8, 4)),
+        it.Perm(np.arange(8)[::-1].copy()),
+        it.CropPad((8,), (12,)),
+        KBInterp(plan),
+        ToeplitzNormal(np.ones((8, 8), np.float32), (4, 4), method="fft"),
+        DWT((16,), wavelet="haar", levels=1),
+    ]
+    for leaf in leaves:
+        flops, bytes_ = leaf.cost(2)
+        assert bytes_ > 0, leaf
+    assert it.Eye(8).cost(1) == (0, 0)
+
+
 def test_roofline_report(rng):
     op = it.Diag(rand64c(256, rng=rng))
     result, text = roofline_report(op, ncols=1, measure=True)
