@@ -17,7 +17,7 @@ import numpy as np
 
 from ..operators import (
     Operator, SpMatrix, KBInterp, Diag, UnscaledFFT, CenteredDFT, KronI,
-    VStack, Scale, Product, CropPad, Perm,
+    VStack, Scale, Product, CropPad, Perm, Mask,
 )
 from .. import noncart
 from ..noncart import (
@@ -235,18 +235,17 @@ def cartesian_sense_op(mask, maps):
 
     mask: boolean array over the image grid (sampled k-space locations, in
     centered/fftshifted order); maps: (ncoil, *img_shape).
-    """
-    import scipy.sparse as sp
 
+    P is the structured :class:`~indigo_tpu.operators.Mask` row-selection
+    leaf (one gather per direction) — the reference encodes this 0/1
+    matrix as a sparse SpMatrix and pays a csrmm for it (SURVEY.md §3.4);
+    exactly equal, structurally free on TPU.
+    """
     maps = np.asarray(maps)
     nc = maps.shape[0]
     img_shape = maps.shape[1:]
-    n = int(np.prod(img_shape))
-    keep = np.flatnonzero(np.asarray(mask).ravel())
-    P = sp.csr_matrix(
-        (np.ones(len(keep), np.float32), (np.arange(len(keep)), keep)),
-        shape=(len(keep), n))
-    core = SpMatrix(P, name="Sampling") * centered_fft_op(img_shape)
+    core = (Mask.from_bool(mask, name="Sampling")
+            * centered_fft_op(img_shape))
     coils = VStack(
         [Diag(maps[c].ravel().astype(np.complex64), name=f"Map{c}")
          for c in range(nc)], name="Coils")

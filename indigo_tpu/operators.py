@@ -39,7 +39,7 @@ from .sparse import (
 __all__ = [
     "Operator",
     "SpMatrix", "KBInterp", "DenseMatrix", "Diag", "UnscaledFFT",
-    "CenteredDFT", "Eye", "One", "CropPad", "Perm",
+    "CenteredDFT", "Eye", "One", "CropPad", "Perm", "Mask",
     "Product", "Adjoint", "KronI", "BlockDiag", "VStack", "HStack", "Scale",
 ]
 
@@ -704,6 +704,75 @@ class Perm(Operator):
         obj = cls.__new__(cls)
         obj._p, obj._ip = children
         dtype, obj._name = aux
+        obj._dtype = jnp.dtype(dtype)
+        return obj
+
+
+@register_pytree_node_class
+class Mask(Operator):
+    """Row-selection operator (m, n): y = x[keep]; adjoint zero-fills.
+
+    The structured replacement for a 0/1 sampling ``SpMatrix`` (the
+    reference encodes Cartesian undersampling masks as sparse matrices and
+    pays a csrmm for them — SURVEY.md §3.4): forward is ONE row gather;
+    the adjoint expands back to n rows scatter-FREE, by gathering from the
+    input extended with a single zero row (rows not kept index the zero
+    row). Exactly equal to the sparse form, at pure-gather cost on TPU.
+    """
+
+    def __init__(self, keep, n, dtype=jnp.complex64, name=None):
+        keep = np.asarray(keep).ravel()
+        n = int(n)
+        if keep.size and (keep.min() < 0 or keep.max() >= n):
+            raise ValueError("keep indices out of range")
+        # inverse map: grid row -> position in keep, or m (the zero row)
+        inv = np.full(n, len(keep), dtype=np.int64)
+        inv[keep] = np.arange(len(keep))
+        self._keep = jnp.asarray(keep, dtype=jnp.int32)
+        self._inv = jnp.asarray(inv, dtype=jnp.int32)
+        self._n = n
+        self._dtype = jnp.dtype(dtype)
+        self._name = name
+
+    @classmethod
+    def from_bool(cls, mask, dtype=jnp.complex64, name=None):
+        """Build from a boolean array over the grid (any shape)."""
+        mask = np.asarray(mask)
+        return cls(np.flatnonzero(mask.ravel()), mask.size, dtype=dtype,
+                   name=name)
+
+    @property
+    def shape(self):
+        return (int(self._keep.shape[0]), self._n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def keep(self):
+        return self._keep
+
+    def apply(self, x, adjoint=False):
+        if adjoint:
+            z = jnp.zeros((1, x.shape[1]), dtype=x.dtype)
+            return jnp.take(jnp.concatenate([x, z], axis=0), self._inv,
+                            axis=0)
+        return jnp.take(x, self._keep, axis=0)
+
+    def cost(self, ncols=1):
+        m, n = self.shape
+        return 0, (m + n) * ncols * self._isz() + n * 4
+
+    def tree_flatten(self):
+        return (self._keep, self._inv), (self._n, str(self._dtype),
+                                         self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._keep, obj._inv = children
+        obj._n, dtype, obj._name = aux
         obj._dtype = jnp.dtype(dtype)
         return obj
 

@@ -73,6 +73,25 @@ def test_perm(rng):
     assert rel_err(np.asarray(op.H * (op * x)), x) < 1e-6
 
 
+def test_mask(rng):
+    n = 60
+    mask = rng.random(n) < 0.4
+    keep = np.flatnonzero(mask)
+    dense = np.eye(n, dtype=np.complex64)[keep]
+    check_against(it.Mask(keep, n), dense, rng)
+    # from_bool builder + P P^H = I on the kept rows
+    op = it.Mask.from_bool(mask.reshape(6, 10))
+    assert op.shape == (len(keep), n)
+    y = rand64c(len(keep), 2, rng=rng)
+    assert rel_err(np.asarray(op * (op.H * y)), y) < 1e-6
+    # matches the sparse-matrix encoding exactly
+    import scipy.sparse as sp
+    P = sp.csr_matrix((np.ones(len(keep), np.float32),
+                       (np.arange(len(keep)), keep)), shape=(len(keep), n))
+    x = rand64c(n, 2, rng=rng)
+    assert rel_err(np.asarray(op * x), P @ x) < 1e-7
+
+
 @pytest.mark.parametrize("vol", [(16,), (8, 12), (4, 6, 8)])
 def test_unscaled_fft(vol, rng):
     op = it.UnscaledFFT(vol)
