@@ -534,10 +534,19 @@ def main():
             r = run_config(256, cpu=True)
             cfgs["toeplitz_256"] = r["ips"]
         elif aux:
+            # emit only what was actually measured this run: re-emitting
+            # the cached toeplitz_128 here would make a stale baseline
+            # look freshly measured (round-3 advisory)
             cfgs["gridded2d_128"] = run_gridded_2d(cpu=True)["ips"]
             t = run_tile_3d(cpu=True)
             cfgs["tile3d_128_fwd"] = t["fwd"]
-            r = {"ips": cfgs.get("toeplitz_128", 0.0)}
+            with open(base_file, "w") as f:
+                json.dump(base, f, indent=1)
+            log(f"wrote CPU aux baselines: "
+                f"{ {k: round(v, 4) for k, v in cfgs.items()} }")
+            emit("gridded_cg_iters_per_sec_2d_radial_128c8_cpu",
+                 cfgs["gridded2d_128"], vs=1.0)
+            return
         else:
             r = run_config(128, cpu=True)
             cfgs["toeplitz_128"] = r["ips"]

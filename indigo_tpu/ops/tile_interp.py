@@ -127,6 +127,31 @@ jax.tree_util.register_pytree_node(
     FwdGroups.tree_unflatten)
 
 
+class _HostPerm:
+    """Hashable aux-data wrapper for a host-side permutation array.
+
+    TileInterpPlan aux data must hash/compare cheaply (it keys every jit
+    cache lookup of a traced plan), so equality takes an identity fast
+    path — tree_unflatten reuses the same aux objects, making repeated
+    calls O(1) — and falls back to array comparison only across
+    independently-built plans.
+    """
+
+    __slots__ = ("perm",)
+
+    def __init__(self, perm):
+        self.perm = np.asarray(perm)
+
+    def __eq__(self, other):
+        return isinstance(other, _HostPerm) and (
+            self.perm is other.perm
+            or np.array_equal(self.perm, other.perm))
+
+    def __hash__(self):
+        p = self.perm
+        return hash((p.shape[0], int(p[0]), int(p[-1]))) if p.size else 0
+
+
 class TileInterpPlan:
     """Host-built geometry for the tile-gather interpolation.
 
@@ -137,19 +162,20 @@ class TileInterpPlan:
       bins: optional :class:`TileAdjBins` for the scatter-free adjoint
       fgroups: optional :class:`FwdGroups` for the span-grouped forward
     Static geometry: grid_shape, tile, ext (halo-extended dims), nt (tiles
-    per axis), pad_lo (halo below), width.
+    per axis), pad_lo (halo below), width. ``sample_perm`` (host numpy or
+    None) is carried as static aux data, so it survives pytree round-trips
+    (device_put, jit argument passing).
     """
 
     def __init__(self, tid, wfac, grid_shape, tile, ext, nt, pad_lo, width,
-                 bins=None, fgroups=None):
+                 bins=None, fgroups=None, sample_perm=None):
         self.tid = tid
         self.wfac = tuple(wfac)
         self.bins = bins
         self.fgroups = fgroups
-        # host-only build metadata (not part of the pytree): the sample
-        # permutation applied by plan_tile_interp(reorder=True); callers
-        # compose it into their own sample mapping at build time
-        self.sample_perm = None
+        # the sample permutation applied by plan_tile_interp(reorder=True);
+        # callers compose it into their own sample mapping at build time
+        self.sample_perm = sample_perm
         self.grid_shape = tuple(int(g) for g in grid_shape)
         self.tile = tuple(int(t) for t in tile)
         self.ext = tuple(int(e) for e in ext)
@@ -173,9 +199,11 @@ class TileInterpPlan:
                    else 0))
 
     def tree_flatten(self):
+        sp = (None if self.sample_perm is None
+              else _HostPerm(self.sample_perm))
         return ((self.tid, self.wfac, self.bins, self.fgroups),
                 (self.grid_shape, self.tile, self.ext, self.nt,
-                 self.pad_lo, self.width))
+                 self.pad_lo, self.width, sp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -183,8 +211,8 @@ class TileInterpPlan:
         obj.tid, wfac, obj.bins, obj.fgroups = children
         obj.wfac = tuple(wfac)
         (obj.grid_shape, obj.tile, obj.ext, obj.nt, obj.pad_lo,
-         obj.width) = aux
-        obj.sample_perm = None
+         obj.width, sp) = aux
+        obj.sample_perm = None if sp is None else sp.perm
         return obj
 
 
@@ -406,13 +434,12 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
             ginv = jnp.asarray(pos.astype(np.int32))
         fgroups = FwdGroups(tids_g, wfacs_g, ginv)
 
-    plan = TileInterpPlan(
+    return TileInterpPlan(
         tid=jnp.asarray(tid.astype(np.int32)),
         wfac=[jnp.asarray(w) for w in wfac],
         grid_shape=G, tile=tile, ext=tuple(ext), nt=tuple(nt),
-        pad_lo=tuple(pad_lo), width=width, bins=bins, fgroups=fgroups)
-    plan.sample_perm = sample_perm
-    return plan
+        pad_lo=tuple(pad_lo), width=width, bins=bins, fgroups=fgroups,
+        sample_perm=sample_perm)
 
 
 # above this many elements, run the (un)tiling transpose in z-slab chunks:
@@ -597,8 +624,8 @@ def _expand_lanes(wd, d, T, nd):
     return wd
 
 
-@functools.partial(jax.jit, static_argnames=("K", "NT"))
-def _adjoint_binned(plan, y, K, NT):
+@functools.partial(jax.jit, static_argnames=("K", "NT", "scratch"))
+def _adjoint_binned(plan, y, K, NT, scratch=_BIN_SCRATCH_ELEMS):
     """Scatter-free tiled-grid adjoint via :class:`TileAdjBins`.
 
     Per count class: gather sample columns + per-axis factors for each
@@ -665,8 +692,13 @@ def _adjoint_binned(plan, y, K, NT):
             return rows.reshape(-1, K * 128)
 
         n_c = idx.shape[0]
-        # bound the expanded-weight scratch (f32 elements; ~256MB)
-        rchunk = max(1, _BIN_SCRATCH_ELEMS // (w * 128))
+        # bound the per-class scratch (f32 elements, default ~256MB at
+        # 128 lanes): each padded entry materializes an expanded-weight
+        # lane row (128) AND its packed-table gather row (P width) —
+        # counting both keeps an explicit tile_interp_apply(chunk=...)
+        # honest on tight-HBM callers. (The packed table P itself,
+        # M x ~64 f32, is per-call and not chunkable.)
+        rchunk = max(1, scratch // (w * (128 + P.shape[1])))
         if n_c <= rchunk:
             rows = rows_of((idx, slot))
         else:
@@ -744,7 +776,10 @@ def tile_interp_apply(plan, x, adjoint=False, chunk=None):
     Forward: x (N, K) grid -> (M, K) samples. Adjoint: x (M, K) samples ->
     (N, K) grid. Complex inputs fold re/im into the K axis (the KB matrix is
     real), exactly like ops.spmm. ``chunk`` bounds the materialized gather
-    to chunk*S*K*128 floats (default: ~256 MB of gather scratch).
+    scratch to ~chunk*S*K*128 floats on every path (default: ~256 MB); on
+    the binned adjoint the same budget caps each class's expanded-weight +
+    packed-gather scratch (its per-call packed table, M x ~64 f32, is not
+    chunkable).
     """
     N = int(np.prod(plan.grid_shape))
     M = plan.n_samples
@@ -755,6 +790,7 @@ def tile_interp_apply(plan, x, adjoint=False, chunk=None):
         return jax.lax.complex(yr[:, :K], yr[:, K:])
     x = x.astype(jnp.float32)
     K = x.shape[1]
+    explicit_chunk = chunk is not None
     if chunk is None:
         # measured sweet spots (128^3 radial, v5e): the forward gather
         # prefers ~256MB of scratch; the wide-K adjoint scatter amortizes
@@ -765,7 +801,9 @@ def tile_interp_apply(plan, x, adjoint=False, chunk=None):
         assert x.shape[0] == M, (x.shape, M)
         NT = int(np.prod(plan.nt))
         if plan.bins is not None:
-            xt = _adjoint_binned(plan, x, K, NT)
+            scratch = (chunk * plan.S * K * 128 if explicit_chunk
+                       else _BIN_SCRATCH_ELEMS)
+            xt = _adjoint_binned(plan, x, K, NT, scratch=scratch)
         else:
             xt = _adjoint(plan, x, K, NT, chunk)
         return untile_grid(plan, xt, K)

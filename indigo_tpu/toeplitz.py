@@ -135,7 +135,11 @@ def _toeplitz_kernel_device(traj, img_shape, big, grid2, width, beta, w):
     from .noncart import deapodization
     from .ops.tile_interp import plan_tile_interp, tile_interp_apply
 
-    plan = plan_tile_interp(traj, grid2, width=width, beta=beta)
+    # this path only ever applies the ADJOINT: skip the grouped-forward
+    # layout (FwdGroups near-duplicates the ~100MB-class weight arrays at
+    # 256^3/640^3 doubled-grid scale and would be uploaded unused)
+    plan = plan_tile_interp(traj, grid2, width=width, beta=beta,
+                            forward="dense")
     plan = jax.device_put(plan)
     da = deapodization(big, grid2, width=width, beta=beta)
     offs = tuple((g - b) // 2 for b, g in zip(big, grid2))

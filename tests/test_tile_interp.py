@@ -71,6 +71,29 @@ def test_tile_interp_reorder_matches_csr(rng):
     assert rel_err(adj, A.conj().T @ y) < 1e-5
 
 
+def test_plan_sample_perm_survives_pytree_roundtrip(rng):
+    """sample_perm is static aux data: device_put / flatten-unflatten must
+    preserve it (round-3 advisory: it was silently reset to None)."""
+    import jax
+
+    grid = (12, 16, 24)
+    traj = traj_with_wrap(300, 3, rng)
+    plan = plan_tile_interp(traj, grid, width=4, reorder=True)
+    assert plan.sample_perm is not None
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    plan2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert np.array_equal(plan2.sample_perm, plan.sample_perm)
+    plan3 = jax.device_put(plan)
+    assert np.array_equal(plan3.sample_perm, plan.sample_perm)
+    # explicit chunk on the binned adjoint still matches the CSR oracle
+    beta = noncart.beatty_beta(4, 1.5)
+    A = noncart.interp_mat(traj, grid, width=4, beta=beta, impl="numpy")
+    planb = plan_tile_interp(traj, grid, width=4, beta=beta)
+    y = rand64c(300, 2, rng=rng)
+    small = np.asarray(tile_interp_apply(planb, y, adjoint=True, chunk=16))
+    assert rel_err(small, A.conj().T @ y) < 1e-5
+
+
 def test_tile_interp_partial_coverage(rng):
     """Trajectory confined to the lower half of one axis: the halo-extended
     extent must still cover grid + low halo (regression: negative wrap-pad
