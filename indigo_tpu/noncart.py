@@ -213,15 +213,62 @@ def zpad_mat(img_shape, grid_shape):
         shape=(int(np.prod(grid_shape)), n))
 
 
-def pipe_menon_dcf(traj, grid_shape, width=4, beta=None, iters=30):
-    """Density-compensation weights by Pipe-Menon fixed point (host-side).
+def pipe_menon_dcf(traj, grid_shape, width=4, beta=None, iters=30,
+                   impl="auto"):
+    """Density-compensation weights by Pipe-Menon fixed point.
 
     w_{k+1} = w_k / (G G^H w_k): after convergence, gridding with weights w
     approximates a flat density. Returns float32 weights (M,). Standard
     companion to the gridding builder for adjoint-NUFFT reconstruction.
+
+    ``impl``:
+      'host'   — the frozen scipy-CSR fixed point (the executable spec);
+        fine for 2D, but it assembles the full CSR and runs 30 host
+        SpMM pairs — minutes at 3D/1M-sample scale.
+      'device' — the same fixed point through the tile-gather apply
+        (ops/tile_interp.py): one jitted scan of G(G^H w) pairs, seconds
+        at 3D serving scale. Matches 'host' to f32 rounding (tested).
+      'auto'   — 'device' when an accelerator is up and the problem is
+        3D-scale (>= ~64^3 grid), else 'host'.
     """
+    traj = np.atleast_2d(np.asarray(traj, dtype=np.float64))
+    M = len(traj)
+    G_ = tuple(int(g) for g in grid_shape)
+    if impl == "auto":
+        try:
+            import jax
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:  # pragma: no cover
+            on_cpu = True
+        impl = "device" if (not on_cpu and np.prod(G_) >= 64 ** 3) \
+            else "host"
+
+    if impl == "device":
+        import jax
+        import jax.numpy as jnp
+        from .ops.tile_interp import plan_tile_interp, tile_interp_apply
+
+        # DCF only needs the adjoint+dense-forward pair; skip the grouped
+        # layout (double-build at these scales) and the binned adjoint
+        # (w is a single K=1 column; the scatter path is cheap and avoids
+        # the packed table's M x 64 upload)
+        plan = plan_tile_interp(traj, G_, width=width, beta=beta,
+                                forward="dense", adjoint="scatter")
+        plan = jax.device_put(plan)
+
+        @jax.jit
+        def fixed_point(plan, w):
+            def body(w, _):
+                d = tile_interp_apply(
+                    plan, tile_interp_apply(plan, w, adjoint=True))
+                return w / jnp.maximum(jnp.abs(d), 1e-12), None
+            w, _ = jax.lax.scan(body, w, None, length=iters)
+            return w / w.max()
+
+        w = fixed_point(plan, jnp.ones((M, 1), jnp.float32))
+        return np.asarray(w)[:, 0].astype(np.float32)
+
     G = interp_mat(traj, grid_shape, width=width, beta=beta)
-    M = G.shape[0]
     w = np.ones(M, dtype=np.float64)
     for _ in range(iters):
         d = G @ (G.conj().T @ w)

@@ -109,6 +109,17 @@ def test_pipe_menon_dcf_radial():
     assert (outer > 2 * inner).all()
 
 
+def test_pipe_menon_dcf_device_matches_host(rng):
+    """The device (tile-gather) fixed point equals the frozen host CSR
+    path to f32 rounding — including in 3D."""
+    traj = (rng.random((250, 3)) - 0.5)
+    w_host = noncart.pipe_menon_dcf(traj, (16, 16, 20), width=4, iters=12,
+                                    impl="host")
+    w_dev = noncart.pipe_menon_dcf(traj, (16, 16, 20), width=4, iters=12,
+                                   impl="device")
+    assert rel_err(w_dev, w_host) < 1e-4
+
+
 def test_pcg_with_diag_precond(rng):
     """Jacobi-preconditioned CG: same solution, fewer iterations on an
     ill-conditioned diagonal-dominant system."""
