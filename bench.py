@@ -460,6 +460,86 @@ def run_tile_3d(n=128, cpu=False):
             "fwd_roofline_frac": 1.0 / (per_f * sol_f)}
 
 
+def run_fista_cs(n=128, nc=4, lam=2e-3, iters=100, cpu=False):
+    """Config-4 lane: l1-wavelet CS recon via FISTA (SURVEY.md §2 Solvers
+    row; examples/cs_wavelet_fista.py is the demo form). Solved in the
+    wavelet domain so the prox is plain soft-thresholding; the whole loop
+    is one compiled lax.scan. Reports iters/sec and the final rel-err vs
+    the float64 oracle FISTA on the same problem."""
+    import jax.numpy as jnp
+    import indigo_tpu as it
+    from indigo_tpu import oracle
+    from indigo_tpu.models import cartesian_sense_op
+    from indigo_tpu.utils import rand64c, rel_err
+
+    rng = np.random.default_rng(3)
+    img_shape = (n, n)
+    yy, xx = np.mgrid[0:n, 0:n] / n
+    maps = np.asarray([
+        (0.5 + np.exp(-(((xx - a) ** 2 + (yy - b) ** 2) * 3)))
+        * np.exp(1j * 2 * np.pi * (a * xx + b * yy))
+        for a, b in [(0.3, 0.3), (0.3, 0.7), (0.7, 0.3), (0.7, 0.7)][:nc]],
+        dtype=np.complex64)
+    # variable-density row mask, fully-sampled center band
+    p = 1.0 / (1.0 + 40.0 * np.abs(np.linspace(-0.5, 0.5, n)))
+    rows = rng.random(n) < p / p.mean() / 3.0
+    rows[int(n * 0.46):int(n * 0.54)] = True
+    mask = np.zeros(img_shape, bool)
+    mask[rows] = True
+    img = np.zeros(img_shape, np.complex64)   # ellipse phantom
+    for cx, cy, rx, ry, a in [(0.5, 0.5, 0.35, 0.45, 1.0),
+                              (0.45, 0.5, 0.1, 0.15, -0.5),
+                              (0.6, 0.4, 0.08, 0.06, 0.7)]:
+        img[((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1] += a
+    x_true = img.ravel()
+
+    A = cartesian_sense_op(mask, maps)
+    W = it.DWT(img_shape, wavelet="db4", levels=3)
+    y = np.array(A * x_true[:, None])
+    y += 0.01 * np.abs(y).mean() * rand64c(*y.shape, rng=rng)
+    L = float(it.max_eigen(A.H * A, n * n, iters=30).real) * 1.05
+    proxg = lambda v, a: it.soft_thresh(v, lam * a)
+    u0 = np.zeros((n * n, 1), np.complex64)
+
+    # NB: close over the HOST copy of y — a complex64 *device* array cannot
+    # be embedded as a jit constant on the axon backend (no complex buffer
+    # support; tracing would try to fetch it back and die Unimplemented).
+    def gradf(u):
+        x = W.apply(u, adjoint=True)
+        r = A.apply(x) - jnp.asarray(y)
+        return W.apply(A.apply(r, adjoint=True))
+
+    def make(k):
+        def f():
+            u, _ = it.apgd(gradf, proxg, 1.0 / L, u0, maxiter=k)
+            return u
+        return f
+
+    k1, k2 = (2, 6) if cpu else (10, 30)
+    per_iter = diff_timed(make, (), k1, k2, npairs=1 if cpu else 3,
+                          min_span=0.0 if cpu else 0.5)
+    ips = 1.0 / per_iter
+
+    # final-answer correctness vs the float64 oracle FISTA (frozen spec)
+    u_dev, _ = it.apgd(gradf, proxg, 1.0 / L, u0, maxiter=iters)
+
+    def gradf_o(u):
+        x = oracle.dwt(u, img_shape, "db4", 3, adjoint=True)
+        r = oracle.cartesian_sense_forward(x, mask, maps) - y
+        return oracle.dwt(oracle.cartesian_sense_adjoint(r, mask, maps),
+                          img_shape, "db4", 3)
+
+    u_o = oracle.fista(gradf_o,
+                       lambda v, a: oracle.soft_thresh(v, lam * a),
+                       1.0 / L, u0.astype(np.complex128), maxiter=iters)
+    err = rel_err(np.asarray(u_dev), u_o)
+    err_truth = rel_err(np.asarray(W.H * np.asarray(u_dev))[:, 0], x_true)
+    log(f"FISTA CS {n}x{n} {nc}-coil: {ips:.1f} iters/sec, "
+        f"rel-err vs float64 oracle {err:.2e}, vs truth {err_truth:.3f}")
+    assert err < 5e-3, f"FISTA diverged from the float64 oracle: {err}"
+    return {"ips": ips, "oracle_err": err, "truth_err": err_truth}
+
+
 def run_sharded_vol(n=256, iters=10, nspokes=None, nread=None):
     """n^3 volume-sharded (tensor-parallel) over all visible devices.
 
@@ -540,6 +620,7 @@ def main():
             cfgs["gridded2d_128"] = run_gridded_2d(cpu=True)["ips"]
             t = run_tile_3d(cpu=True)
             cfgs["tile3d_128_fwd"] = t["fwd"]
+            cfgs["fista_128"] = run_fista_cs(cpu=True)["ips"]
             with open(base_file, "w") as f:
                 json.dump(base, f, indent=1)
             log(f"wrote CPU aux baselines: "
@@ -555,6 +636,7 @@ def main():
             cfgs["gridded2d_128"] = run_gridded_2d(cpu=True)["ips"]
             t = run_tile_3d(cpu=True)
             cfgs["tile3d_128_fwd"] = t["fwd"]
+            cfgs["fista_128"] = run_fista_cs(cpu=True)["ips"]
         with open(base_file, "w") as f:
             json.dump(base, f, indent=1)
         log(f"wrote CPU baselines: { {k: round(v, 4) for k, v in cfgs.items()} }")
@@ -581,6 +663,11 @@ def main():
              vs=vs("tile3d_128_fwd", t["fwd"]), unit="applies/sec",
              adj_applies_per_sec=round(t["adj"], 3),
              roofline_pct=round(100 * t["fwd_roofline_frac"], 1))
+        f = run_fista_cs()
+        emit("fista_cs_iters_per_sec_2d_128c4", f["ips"],
+             vs=vs("fista_128", f["ips"]),
+             rel_err_vs_oracle=round(f["oracle_err"], 6),
+             rel_err_vs_truth=round(f["truth_err"], 4))
 
     configs = [64] if small else ([256] if huge else [256, 128])
     for n in configs:

@@ -131,6 +131,23 @@ def test_config4_fista_wavelet_free(rng):
     assert rel_err(np.asarray(x), x_o) < 1e-3
 
 
+def test_cartesian_sense_matches_oracle(rng):
+    """cartesian_sense_op (Mask leaf + centered FFT + maps) equals the
+    frozen float64 oracle in both directions."""
+    img_shape = (12, 16)
+    nc = 3
+    maps = smooth_maps(nc, img_shape, rng)
+    mask = rng.random(img_shape) > 0.4
+    A = cartesian_sense_op(mask, maps)
+    m = int(mask.sum())
+    x = rand64c(12 * 16, 2, rng=rng)
+    y = rand64c(nc * m, 2, rng=rng)
+    assert rel_err(np.asarray(A * x),
+                   oracle.cartesian_sense_forward(x, mask, maps)) < 1e-5
+    assert rel_err(np.asarray(A.H * y),
+                   oracle.cartesian_sense_adjoint(y, mask, maps)) < 1e-5
+
+
 def test_config1_cartesian_sense_vs_direct(rng):
     img_shape = (12, 12)
     nc = 2

@@ -36,6 +36,21 @@ def test_orthogonal_and_inverse(wavelet, shape, levels, rng):
     assert abs(lhs - rhs) / abs(lhs) < 1e-5
 
 
+@pytest.mark.parametrize("wavelet,shape,levels",
+                         [("haar", (16,), 2), ("db4", (16, 32), 2)])
+def test_dwt_matches_oracle(wavelet, shape, levels, rng):
+    """The jnp DWT equals the frozen float64 oracle (both directions)."""
+    from indigo_tpu import oracle
+
+    W = DWT(shape, wavelet=wavelet, levels=levels)
+    n = int(np.prod(shape))
+    x = rand64c(n, 2, rng=rng)
+    assert rel_err(np.asarray(W * x),
+                   oracle.dwt(x, shape, wavelet, levels)) < 1e-5
+    assert rel_err(np.asarray(W.H * x),
+                   oracle.dwt(x, shape, wavelet, levels, adjoint=True)) < 1e-5
+
+
 def test_dense_orthogonality(rng):
     W = DWT((8, 8), wavelet="db2", levels=2)
     D = np.asarray(W.to_dense())
