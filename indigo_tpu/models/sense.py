@@ -144,22 +144,14 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
 
     chain = []
     if interp == "auto":
-        if len(img_shape) >= 3:
-            # every 3D gridding matrix lands at ~1% fill where blocked
-            # tiles blow up; the tile-gather path measured 5-30x faster
-            interp = "tile"
-        else:
-            from ..sparse import estimate_jag_bytes
-            # probe the blocked-tile footprint on a sample subset (rough:
-            # the forward term scales ~linearly in rows; the adjoint's
-            # empty-block term does not, so this overestimates very tall
-            # adjoints — acceptable for a 2D-only heuristic)
-            probe = traj_s[:: max(1, len(traj_s) // 65536)]
-            Gp = interp_mat(probe, grid_shape, width=width, beta=beta)
-            scale = len(traj_s) / max(1, len(probe))
-            est = (estimate_jag_bytes(Gp)
-                   + estimate_jag_bytes(Gp.T)) * scale
-            interp = "tile" if est > SpMatrix.MAX_TILE_BYTES else "sparse"
+        # tile-gather for every 2D/3D gridding matrix: 3D blocked tiles
+        # blow up at ~1% fill (tile path measured 5-30x faster), and on 2D
+        # the tile path measured faster at every benchmarked scale too
+        # (64^2: 4.7x, 128^2 radial: 2.1x, 256^2: 1.4x on the A^H A apply
+        # -- see tools/gridded_profile.py; the jag SpMM runs at ~3% of its
+        # traffic floor because fill ~0.04 wastes the MXU). 1D keeps the
+        # blocked-ELL SpMatrix (dense enough to tile well).
+        interp = "tile" if len(img_shape) >= 2 else "sparse"
     if interp == "tile":
         from ..ops.tile_interp import plan_tile_interp
         # reorder=True: the plan groups samples by super-tile span so the

@@ -163,10 +163,12 @@ def test_nufft_op_tile_matches_sparse(rng):
     assert rel_err(np.asarray(A_t * x), s_ref) < 3e-3
 
 
-def test_nufft_op_auto_picks_sparse_for_small(rng):
-    """Small problems keep the SpMatrix leaf under interp='auto'."""
-    traj = traj_with_wrap(50, 2, rng)
-    A, _ = nufft_op(traj, (16, 16), oversamp=2.0, width=4)
+def test_nufft_op_auto_picks_sparse_for_1d(rng):
+    """1D problems keep the SpMatrix leaf under interp='auto' (dense
+    enough to tile well); 2D+ goes tile-gather (measured faster at every
+    benchmarked scale — see nufft_op)."""
+    traj = traj_with_wrap(50, 1, rng)
+    A, _ = nufft_op(traj, (64,), oversamp=2.0, width=4)
     leaves = [A]
     found = []
     while leaves:
@@ -210,10 +212,11 @@ def test_binned_adjoint_matches_scatter(rng):
 
 
 def test_nufft_op_auto_choice_at_bench_scales():
-    """Pin interp='auto' at the representative benchmark scales: the 2D
-    radial workload (bench.py run_gridded_2d geometry) must stay on the
-    SpMatrix (jag Pallas) leaf, and 3D must stay on KBInterp — a silent
-    flip would change the perf class without failing any exactness test."""
+    """Pin interp='auto' at the representative benchmark scales: both the
+    2D radial workload (bench.py run_gridded_2d geometry) and 3D must land
+    on the KBInterp tile-gather leaf (measured faster than the jag SpMM at
+    every 2D/3D bench scale) — a silent flip would change the perf class
+    without failing any exactness test."""
     def leaf_names(A):
         out, stack = [], [A]
         while stack:
@@ -230,7 +233,7 @@ def test_nufft_op_auto_choice_at_bench_scales():
                       np.outer(np.sin(ang), r).ravel()], axis=1)
     A2, _ = nufft_op(traj2, (n, n), oversamp=1.5, width=4)
     names2 = leaf_names(A2)
-    assert "SpMatrix" in names2 and "KBInterp" not in names2
+    assert "KBInterp" in names2 and "SpMatrix" not in names2
 
     rng3 = np.random.default_rng(3)
     traj3 = (rng3.random((4096, 3)) - 0.5).astype(np.float64)
