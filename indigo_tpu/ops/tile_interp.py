@@ -52,29 +52,45 @@ class TileAdjBins:
     entry-count classes, and per class the contraction over a tile's
     entries is a single dot_general (batch=tile, contract=entries).
 
-    Per class c: tile_ids[c] (n_c,) int32 ascending; idx[c] (n_c, w_c)
-    int32 ORIGINAL sample ids (M = zero-sentinel pad); slot[c] (n_c, w_c)
-    int8 super-tile member of each entry.
+    Per class c: idx[c] (n_c, w_c) int32 ORIGINAL sample ids (M =
+    zero-sentinel pad); slot[c] (n_c, w_c) int8 super-tile member of each
+    entry; rows within a class are tile-ascending.
+
+    The COMMIT is a pure gather: after the cap class's multi-row tiles are
+    pre-reduced (``cap_seg``: sorted segment ids over its rows; None when
+    every tile fits one row), each nonempty tile owns exactly one row of
+    the class-concatenated results, and ``gidx`` (NT,) int32 maps every
+    output tile to that row — or to the zero sentinel row R. The tiled
+    grid is then ``rows[gidx]``: no zeros-init, no scatter pass at all
+    (the per-class scatter-adds each re-streamed the whole (NT, K*128)
+    grid — measured ~9 ms of the 42 ms 128^3/K=16 adjoint — and a merged
+    sorted scatter needed a permuted row copy that OOMed 256^3 serving).
     """
 
-    def __init__(self, tile_ids, idx, slot, widths):
-        self.tile_ids = tuple(tile_ids)
+    def __init__(self, idx, slot, widths, gidx, cap_seg=None, cap_ntiles=0):
         self.idx = tuple(idx)
         self.slot = tuple(slot)
         self.widths = tuple(int(w) for w in widths)
+        self.gidx = gidx
+        self.cap_seg = cap_seg
+        self.cap_ntiles = int(cap_ntiles)
 
     def memusage(self):
-        return int(sum(a.nbytes for t in (self.tile_ids, self.idx, self.slot)
-                       for a in t))
+        extra = sum(int(a.nbytes) for a in (self.gidx, self.cap_seg)
+                    if a is not None)
+        return int(sum(a.nbytes for t in (self.idx, self.slot)
+                       for a in t)) + extra
 
     def tree_flatten(self):
-        return ((self.tile_ids, self.idx, self.slot), (self.widths,))
+        return ((self.idx, self.slot, self.gidx, self.cap_seg),
+                (self.widths, self.cap_ntiles))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.tile_ids, obj.idx, obj.slot = (tuple(c) for c in children)
-        obj.widths = aux[0]
+        idx, slot, obj.gidx, obj.cap_seg = children
+        obj.idx, obj.slot = tuple(idx), tuple(slot)
+        obj.widths, obj.cap_ntiles = aux
         return obj
 
 
@@ -234,9 +250,10 @@ _BIN_SCRATCH_ELEMS = 1 << 26
 _BIN_WIDTHS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
-def build_tile_adj_bins(corner, soff, M, touch=None):
-    """Host-side: corner tile ids (M,) + super-tile offsets (S,) ->
-    :class:`TileAdjBins` (see its docstring for the execution model).
+def build_tile_adj_bins(tid, M, NT, touch=None):
+    """Host-side: member tile ids (M, S) -> :class:`TileAdjBins` (see its
+    docstring for the execution model). ``NT`` = total output tiles (sizes
+    the gather map ``gidx``).
 
     ``touch`` (M, S) bool marks the super-tile members a sample's patch
     actually covers; untouched (sample, slot) pairs carry identically-zero
@@ -246,13 +263,13 @@ def build_tile_adj_bins(corner, soff, M, touch=None):
     a boundary, so the average live slot count is ~4.2 of S=8 (measured) —
     filtering is a ~1.9x entry reduction. None keeps all M*S entries.
     """
-    S = len(soff)
+    S = tid.shape[1]
     if touch is None:
         samp_e = np.repeat(np.arange(M, dtype=np.int64), S)
         slot_e = np.tile(np.arange(S, dtype=np.int64), M)
     else:
         samp_e, slot_e = np.nonzero(touch)
-    tile_e = corner[samp_e] + soff[slot_e]
+    tile_e = tid[samp_e, slot_e]
     o = np.argsort(tile_e, kind="stable")   # within a tile: ascending sample
     tile_e, sample_id, slot_e = (tile_e[o], samp_e[o].astype(np.int32),
                                  slot_e[o].astype(np.int8))
@@ -267,8 +284,11 @@ def build_tile_adj_bins(corner, soff, M, touch=None):
     tile_idx_e = np.repeat(np.arange(len(tiles)), e_T)
     eo = np.arange(len(tile_e)) - np.repeat(tstart, e_T)  # offset in tile
 
-    tile_ids, idx, slot, widths = [], [], [], []
-    # per-tile row base among its class's rows
+    idx, slot, widths = [], [], []
+    cap_seg, cap_ntiles = None, 0
+    gidx = np.full(NT, 0, dtype=np.int64)   # filled below; sentinel last
+    row_base = 0                             # in REDUCED (per-tile) rows
+    covered = np.zeros(NT, dtype=bool)
     for c, w in enumerate(_BIN_WIDTHS):
         m_t = cls == c
         if not m_t.any():
@@ -285,12 +305,23 @@ def build_tile_adj_bins(corner, soff, M, touch=None):
         slot_c = np.zeros((n_c, w), dtype=np.int8)
         idx_c.ravel()[re * w + ce] = sample_id[m_e]
         slot_c.ravel()[re * w + ce] = slot_e[m_e]
-        tile_ids.append(jnp.asarray(
-            np.repeat(tiles[t_sel], nr).astype(np.int32)))
         idx.append(jnp.asarray(idx_c))
         slot.append(jnp.asarray(slot_c))
         widths.append(w)
-    return TileAdjBins(tile_ids, idx, slot, widths)
+        if (nr > 1).any():
+            # only the cap class can exceed one row per tile; its rows are
+            # pre-reduced at execution time to one row per tile
+            assert w == _BIN_WIDTHS[-1], (w, nr.max())
+            cap_seg = jnp.asarray(
+                np.repeat(np.arange(len(t_sel)), nr).astype(np.int32))
+            cap_ntiles = len(t_sel)
+        gidx[tiles[t_sel]] = row_base + np.arange(len(t_sel))
+        covered[tiles[t_sel]] = True
+        row_base += len(t_sel)
+    gidx[~covered] = row_base                # zero sentinel row
+    return TileAdjBins(idx, slot, widths,
+                       gidx=jnp.asarray(gidx.astype(np.int32)),
+                       cap_seg=cap_seg, cap_ntiles=cap_ntiles)
 
 
 def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
@@ -330,7 +361,7 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
     assert int(np.prod(tile)) == 128, tile
 
     pad_lo, ext, nt, nsup = [], [], [], []
-    tblk, wfac, touch_d = [], [], []
+    tblk, wfac, touch_d, wrap_d = [], [], [], []
     for d in range(nd):
         t = tile[d]
         c = (traj[:, d] + 0.5) * G[d]
@@ -338,19 +369,33 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
         offs = np.arange(width)
         w_d = kaiser_bessel(c[:, None] - (base[:, None] + offs[None, :]),
                             width, beta).astype(np.float32)
-        lo = int(max(0, -base.min()))
-        basep = base + lo
-        hi_need = int(basep.max()) + width      # one past last touched node
-        # super-tile tile count along this axis (worst-case base % t)
-        n_d = (t - 1 + width - 1) // t + 1
-        ntd = -(-hi_need // t)
-        ntd = max(ntd, (int(basep.max()) // t) + n_d)  # super-tile in range
-        # trajectories that never reach the top of an axis would otherwise
-        # yield ext < G + lo, making tile_grid's wrap-pad width negative
-        ntd = max(ntd, -(-(G[d] + lo) // t))
-        e = ntd * t
-        tb = basep // t                          # first tile of super-tile
-        off_in = basep - tb * t                  # patch offset inside it
+        n_d = (t - 1 + width - 1) // t + 1   # super-tile tiles along axis
+        if G[d] % t == 0:
+            # tile divides the grid: make the TILE GRID itself periodic
+            # (member tile ids wrap mod nt below) — no halo extension, so
+            # tile_grid needs no wrap-pad and untile_grid no overlap-add
+            # fold (the fold measured 21 of 33 ms at 128^3 K=16: every
+            # axis pass pays lane-shifted slice+pad+add relayouts).
+            lo = 0
+            ntd = G[d] // t
+            e = G[d]
+            tb = np.floor_divide(base, t)    # may be <0 or >=ntd: wrapped
+            off_in = base - tb * t           # in [0, t) regardless
+            wrap = True
+        else:
+            lo = int(max(0, -base.min()))
+            basep = base + lo
+            hi_need = int(basep.max()) + width   # one past last touched
+            ntd = -(-hi_need // t)
+            ntd = max(ntd, (int(basep.max()) // t) + n_d)  # in range
+            # trajectories that never reach the top of an axis would
+            # otherwise yield ext < G + lo, making tile_grid's wrap-pad
+            # width negative
+            ntd = max(ntd, -(-(G[d] + lo) // t))
+            e = ntd * t
+            tb = basep // t                  # first tile of super-tile
+            off_in = basep - tb * t          # patch offset inside it
+            wrap = False
         # scatter the width weights into the super-tile extent n_d*t
         wf = np.zeros((M, n_d * t), dtype=np.float32)
         np.put_along_axis(
@@ -361,6 +406,7 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
         nsup.append(n_d)
         tblk.append(tb)
         wfac.append(wf.reshape(M, n_d, t))
+        wrap_d.append(wrap)
         # which super-tile members the patch actually covers along this
         # axis: member j spans extent [j*t, (j+1)*t), the patch
         # [off_in, off_in + width)
@@ -380,23 +426,24 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
             tblk = [t[order] for t in tblk]
             touch_d = [t[order] for t in touch_d]
 
-    # linear tile ids of the super-tile corner offsets (static pattern)
-    corner = np.zeros(M, dtype=np.int64)
-    for d in range(nd):
-        corner = corner * nt[d] + tblk[d]
-    # offsets of the S = prod(nsup) super-tile members
+    # linear tile ids of the S = prod(nsup) super-tile members; on wrapped
+    # (periodic-tile) axes the member index folds mod nt
     grids = np.indices(tuple(nsup)).reshape(nd, -1)       # (d, S)
     step = np.ones(nd, dtype=np.int64)
     for d in range(nd - 2, -1, -1):
         step[d] = step[d + 1] * nt[d + 1]
-    soff = (grids * step[:, None]).sum(axis=0)            # (S,)
-    tid = corner[:, None] + soff[None, :]                 # (M, S)
+    tid = np.zeros((M, grids.shape[1]), dtype=np.int64)   # (M, S)
+    for d in range(nd):
+        md = tblk[d][:, None] + grids[d][None, :]
+        if wrap_d[d]:
+            md %= nt[d]
+        tid += md * step[d]
 
     if adjoint == "binned":
         touch = touch_d[0][:, grids[0]]                   # (M, S)
         for d in range(1, nd):
             touch = touch & touch_d[d][:, grids[d]]
-        bins = build_tile_adj_bins(corner, soff, M, touch=touch)
+        bins = build_tile_adj_bins(tid, M, int(np.prod(nt)), touch=touch)
     else:
         bins = None
 
@@ -448,6 +495,34 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
 _TILE_SLAB_ELEMS = 1 << 27
 
 
+def _unretile2(xt, nt, T, K, E):
+    """(NT, K*128) -> (K, *E) for rank 3, as TWO transposes neither of
+    which XLA materializes with a catastrophic layout: first the
+    z-interleave with the full merged E2 as the minor dim, then a pure
+    row permutation (minor untouched). The monolithic 7D transpose picks
+    a sub-128-minor layout at big volumes (8x padding — OOMed outright at
+    320^3 K=16), and the old nt0-slab lax.map materialized (nt0, K, ...)
+    with the K=16 dim as minor (8x padding, same OOM)."""
+    nt0, nt1, nt2 = nt
+    T0, T1, T2 = T
+    x = xt.reshape(nt0 * nt1, nt2, K, T0 * T1, T2)
+    x = x.transpose(0, 2, 3, 1, 4)            # (nt01, K, T0T1, nt2, T2)
+    x = x.reshape(nt0, nt1, K, T0, T1, E[2])
+    x = x.transpose(2, 0, 3, 1, 4, 5)         # (K, nt0, T0, nt1, T1, E2)
+    return x.reshape((K,) + tuple(E))
+
+
+def _retile2(xk, nt, T, K, E):
+    """(K, *E) -> (NT, K*128) for rank 3: mirror of :func:`_unretile2`."""
+    nt0, nt1, nt2 = nt
+    T0, T1, T2 = T
+    x = xk.reshape(K, nt0, T0, nt1, T1, E[2])
+    x = x.transpose(1, 3, 0, 2, 4, 5)         # (nt0, nt1, K, T0, T1, E2)
+    x = x.reshape(nt0 * nt1, K, T0 * T1, nt2, T2)
+    x = x.transpose(0, 3, 1, 2, 4)            # (nt01, nt2, K, T0T1, T2)
+    return x.reshape(-1, K * 128)
+
+
 def _retile(xk, nt, T, K, nd):
     """(K, E...) -> (NT, K*128): split axes, withins last, flatten.
 
@@ -477,14 +552,9 @@ def tile_grid(plan, x):
     xk = x.T.reshape((K,) + G)
     pads = [(0, 0)] + [(lo[d], E[d] - G[d] - lo[d]) for d in range(nd)]
     xk = jnp.pad(xk, pads, mode="wrap")
-    if xk.size <= _TILE_SLAB_ELEMS or nd == 1:
-        return _retile(xk, plan.nt, T, K, nd)
-    # big volume: map over leading-axis tile rows to bound the transpose
-    xk = xk.reshape((K, plan.nt[0], T[0]) + E[1:])
-    xk = jnp.moveaxis(xk, 1, 0)                # (nt0, K, T0, E1, ...)
-    out = jax.lax.map(
-        lambda s: _retile(s, (1,) + plan.nt[1:], T, K, nd), xk)
-    return out.reshape(-1, K * 128)
+    if nd == 3 and xk.size > _TILE_SLAB_ELEMS:
+        return _retile2(xk, plan.nt, T, K, E)
+    return _retile(xk, plan.nt, T, K, nd)
 
 
 def _unretile(xt, nt, T, K, nd, E):
@@ -508,15 +578,10 @@ def untile_grid(plan, xt, K):
     periodically (the transpose of pad-wrap is overlap-add)."""
     G, E, T, lo = plan.grid_shape, plan.ext, plan.tile, plan.pad_lo
     nd = len(G)
-    if xt.size <= _TILE_SLAB_ELEMS or nd == 1:
-        xe = _unretile(xt, plan.nt, T, K, nd, E)        # (K, *E)
+    if nd == 3 and xt.size > _TILE_SLAB_ELEMS:
+        xe = _unretile2(xt, plan.nt, T, K, E)           # (K, *E)
     else:
-        rows = int(np.prod(plan.nt[1:]))
-        xts = xt.reshape(plan.nt[0], rows, K * 128)
-        xe = jax.lax.map(
-            lambda s: _unretile(s, (1,) + plan.nt[1:], T, K, nd,
-                                (T[0],) + E[1:]), xts)  # (nt0, K, T0, E1..)
-        xe = jnp.moveaxis(xe, 1, 0).reshape((K,) + E)
+        xe = _unretile(xt, plan.nt, T, K, nd, E)        # (K, *E)
     # fold halos: index e maps to (e - lo) mod G (K leads, spatial axis d
     # lives at d+1)
     for d in range(nd):
@@ -661,9 +726,17 @@ def _adjoint_binned(plan, y, K, NT, scratch=_BIN_SCRATCH_ELEMS):
     if P.shape[1] > 24 and P.shape[1] % 64:
         P = jnp.pad(P, ((0, 0), (0, 64 - P.shape[1] % 64)))
 
-    out = jnp.zeros((NT, K * 128), jnp.float32)
-    for tids, idx, slot, w in zip(bins.tile_ids, bins.idx, bins.slot,
-                                  bins.widths):
+    # one preallocated reduced-rows buffer (+1 zero sentinel row), filled
+    # class by class with static-offset dynamic_update_slice (aliased
+    # in-place by XLA — a concat would hold every class buffer live at
+    # once: +2.3 GB peak at 256^3/K=16, which OOMed the 15.75 GB chip)
+    nred = [i.shape[0] for i in bins.idx]
+    if bins.cap_seg is not None:
+        nred[-1] = bins.cap_ntiles
+    rows_buf = jnp.zeros((sum(nred) + 1, K * 128), jnp.float32)
+    base = 0
+    for ci, (idx, slot, w) in enumerate(zip(bins.idx, bins.slot,
+                                            bins.widths)):
         def rows_of(args, w=w):
             idx_c, slot_c = args                     # (r, w) int32/int8
             idx_c = idx_c.astype(jnp.int32)
@@ -711,8 +784,18 @@ def _adjoint_binned(plan, y, K, NT, scratch=_BIN_SCRATCH_ELEMS):
                 rows_of, (idx_p.reshape(nch, rchunk, w),
                           slot_p.reshape(nch, rchunk, w)))
             rows = rows.reshape(-1, K * 128)[:n_c]
-        out = out.at[tids].add(rows, indices_are_sorted=True)
-    return out
+        if bins.cap_seg is not None and ci == len(bins.widths) - 1:
+            # cap class: fold a tile's multiple rows into one so every
+            # nonempty tile owns exactly one reduced row
+            rows = jax.ops.segment_sum(
+                rows, bins.cap_seg, num_segments=bins.cap_ntiles,
+                indices_are_sorted=True)
+        rows_buf = jax.lax.dynamic_update_slice(rows_buf, rows, (base, 0))
+        base += nred[ci]
+    # COMMIT AS A GATHER (see TileAdjBins): the tiled grid is
+    # rows_buf[gidx] — no zeros-init and no scatter pass over the
+    # (NT, K*128) grid.
+    return rows_buf[bins.gidx]
 
 
 @functools.partial(jax.jit, static_argnames=("K", "NT", "chunk"))

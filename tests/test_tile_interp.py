@@ -163,6 +163,31 @@ def test_nufft_op_tile_matches_sparse(rng):
     assert rel_err(np.asarray(A_t * x), s_ref) < 3e-3
 
 
+def test_big_volume_two_step_transpose_branch(rng):
+    """Shrinking _TILE_SLAB_ELEMS forces the rank-3 two-step (un)retile
+    (the big-volume layout-safe path used at 256^3+ serving scale); it
+    must agree exactly with the monolithic transpose path."""
+    from indigo_tpu.ops import tile_interp as ti
+
+    grid = (12, 16, 24)
+    traj = traj_with_wrap(200, 3, rng)
+    beta = noncart.beatty_beta(4, 1.5)
+    plan = plan_tile_interp(traj, grid, width=4, beta=beta)
+    x = rand64c(int(np.prod(grid)), 2, rng=rng)
+    y = rand64c(200, 2, rng=rng)
+    fwd = np.asarray(tile_interp_apply(plan, x))
+    adj = np.asarray(tile_interp_apply(plan, y, adjoint=True))
+    old = ti._TILE_SLAB_ELEMS
+    try:
+        ti._TILE_SLAB_ELEMS = 1 << 10
+        fwd2 = np.asarray(tile_interp_apply(plan, x))
+        adj2 = np.asarray(tile_interp_apply(plan, y, adjoint=True))
+    finally:
+        ti._TILE_SLAB_ELEMS = old
+    assert rel_err(fwd2, fwd) < 1e-7
+    assert rel_err(adj2, adj) < 1e-7
+
+
 def test_nufft_op_auto_picks_sparse_for_1d(rng):
     """1D problems keep the SpMatrix leaf under interp='auto' (dense
     enough to tile well); 2D+ goes tile-gather (measured faster at every
