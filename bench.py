@@ -453,11 +453,18 @@ def run_tile_3d(n=128, cpu=False):
     stream = rows * 2 * 128 * 4 + NT * 2 * 128 * 4 + plan.memusage()
     floor = max(stream / HBM_BYTES_PER_SEC, rows * GATHER_SEC_PER_ROW)
     sol_f = 1.0 / floor
+    # adjoint floor: three-resource model mirroring _adjoint_binned
+    # stage for stage (profiling.tile_adj_floor); K=2 (re/im folded)
+    from indigo_tpu.profiling import tile_adj_floor
+    a_floor, a_terms = tile_adj_floor(plan, K=2)
     log(f"tile 3D applies/sec: fwd {1/per_f:.1f} ({per_f*1e3:.1f} ms, "
         f"{100/(per_f*sol_f):.0f}% of the row-gather/stream floor "
-        f"{floor*1e3:.1f} ms), adj {1/per_a:.1f} ({per_a*1e3:.1f} ms)")
+        f"{floor*1e3:.1f} ms), adj {1/per_a:.1f} ({per_a*1e3:.1f} ms, "
+        f"{100*a_floor/per_a:.0f}% of the {a_floor*1e3:.1f} ms floor: "
+        + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in a_terms.items()) + ")")
     return {"fwd": 1.0 / per_f, "adj": 1.0 / per_a,
-            "fwd_roofline_frac": 1.0 / (per_f * sol_f)}
+            "fwd_roofline_frac": 1.0 / (per_f * sol_f),
+            "adj_roofline_frac": a_floor / per_a}
 
 
 def run_fista_cs(n=128, nc=4, lam=2e-3, iters=100, cpu=False):
@@ -662,7 +669,8 @@ def main():
         emit("tile_gather_fwd_applies_per_sec_3d_128", t["fwd"],
              vs=vs("tile3d_128_fwd", t["fwd"]), unit="applies/sec",
              adj_applies_per_sec=round(t["adj"], 3),
-             roofline_pct=round(100 * t["fwd_roofline_frac"], 1))
+             roofline_pct=round(100 * t["fwd_roofline_frac"], 1),
+             adj_roofline_pct=round(100 * t["adj_roofline_frac"], 1))
         f = run_fista_cs()
         emit("fista_cs_iters_per_sec_2d_128c4", f["ips"],
              vs=vs("fista_128", f["ips"]),

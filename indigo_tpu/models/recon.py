@@ -255,6 +255,36 @@ class SenseRecon:
             return x, np.asarray(resids)
         return x
 
+    def stream(self, ys, output="host"):
+        """Reconstruct a SEQUENCE of acquisitions with egress overlapped.
+
+        Serving pattern: the solve of acquisition k+1 is dispatched
+        (asynchronously) before acquisition k's volume is fetched, so the
+        device->host egress of one result rides under the next solve
+        instead of serializing after it — on tunneled/slow links the
+        stream throughput approaches the compute-only rate (the round-3
+        serving gap: 1.9 s compute vs 5.6 s egress at 256^3).
+
+        ys: iterable of k-space acquisitions (each as accepted by
+        ``__call__``). Yields images in order; ``output`` as in
+        ``__call__`` ('host' fetches numpy complex, 'device' yields the
+        un-fetched CPair and leaves overlap to the caller).
+        """
+        def fetch(x):
+            if output == "host":
+                return (np.asarray(x.re).astype(np.complex64)
+                        + 1j * np.asarray(x.im))
+            return x
+
+        prev = None
+        for y in ys:
+            x = self(y, output="device")   # async dispatch
+            if prev is not None:
+                yield fetch(prev)          # egress overlaps x's solve
+            prev = x
+        if prev is not None:
+            yield fetch(prev)
+
     @property
     def last_iters(self):
         """CG iterations taken by the most recent solve (tol-stopped runs

@@ -250,7 +250,65 @@ _BIN_SCRATCH_ELEMS = 1 << 26
 _BIN_WIDTHS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
-def build_tile_adj_bins(tid, M, NT, touch=None):
+def _bin_entries(tid, M, touch=None):
+    """Shared host pre-pass of :func:`build_tile_adj_bins` /
+    :func:`bin_layout`: covered (sample, slot) entries sorted by tile."""
+    S = tid.shape[1]
+    if touch is None:
+        samp_e = np.repeat(np.arange(M, dtype=np.int64), S)
+        slot_e = np.tile(np.arange(S, dtype=np.int64), M)
+    else:
+        samp_e, slot_e = np.nonzero(touch)
+    tile_e = tid[samp_e, slot_e]
+    o = np.argsort(tile_e, kind="stable")   # within a tile: ascending sample
+    tile_e, sample_id, slot_e = (tile_e[o], samp_e[o].astype(np.int32),
+                                 slot_e[o].astype(np.int8))
+    tiles, tstart, e_T = np.unique(tile_e, return_index=True,
+                                   return_counts=True)
+    cap = _BIN_WIDTHS[-1]
+    cls = np.searchsorted(np.asarray(_BIN_WIDTHS), e_T)   # ladder index
+    cls = np.minimum(cls, len(_BIN_WIDTHS) - 1)
+    nrows_t = np.where(e_T > cap, -(-e_T // cap), 1)
+    return tiles, tstart, e_T, cls, nrows_t, sample_id, slot_e
+
+
+def bin_layout_of(tid, M, touch=None):
+    """Per-class row layout :func:`build_tile_adj_bins` would produce.
+
+    Returns ``(counts, cap_ntiles)``: ``counts`` maps ladder width ->
+    row count, ``cap_ntiles`` is the cap class's reduced (per-tile) row
+    count when any tile overflows one cap row (else 0). Merge layouts of
+    several sample partitions with :func:`merge_bin_layouts` and pass the
+    result back as ``build_tile_adj_bins(..., layout=...)`` to get
+    identically-shaped (stackable) bin pytrees — the shard_map rhs build
+    (parallel/e2e.py) stacks one plan per device.
+    """
+    _, _, _, cls, nrows_t, _, _ = _bin_entries(tid, M, touch)
+    counts = {}
+    cap_ntiles = 0
+    for c, w in enumerate(_BIN_WIDTHS):
+        m_t = cls == c
+        if not m_t.any():
+            continue
+        nr = nrows_t[m_t]
+        counts[w] = int(nr.sum())
+        if (nr > 1).any():
+            cap_ntiles = int(m_t.sum())
+    return counts, cap_ntiles
+
+
+def merge_bin_layouts(layouts):
+    """Elementwise max of :func:`bin_layout_of` results (a common superset)."""
+    counts = {}
+    cap_ntiles = 0
+    for cnt, cap in layouts:
+        for w, n in cnt.items():
+            counts[w] = max(counts.get(w, 0), n)
+        cap_ntiles = max(cap_ntiles, cap)
+    return counts, cap_ntiles
+
+
+def build_tile_adj_bins(tid, M, NT, touch=None, layout=None):
     """Host-side: member tile ids (M, S) -> :class:`TileAdjBins` (see its
     docstring for the execution model). ``NT`` = total output tiles (sizes
     the gather map ``gidx``).
@@ -262,27 +320,20 @@ def build_tile_adj_bins(tid, M, NT, touch=None):
     A width-4 patch spans 2 tiles along a 4-wide axis only when it crosses
     a boundary, so the average live slot count is ~4.2 of S=8 (measured) —
     filtering is a ~1.9x entry reduction. None keeps all M*S entries.
-    """
-    S = tid.shape[1]
-    if touch is None:
-        samp_e = np.repeat(np.arange(M, dtype=np.int64), S)
-        slot_e = np.tile(np.arange(S, dtype=np.int64), M)
-    else:
-        samp_e, slot_e = np.nonzero(touch)
-    tile_e = tid[samp_e, slot_e]
-    o = np.argsort(tile_e, kind="stable")   # within a tile: ascending sample
-    tile_e, sample_id, slot_e = (tile_e[o], samp_e[o].astype(np.int32),
-                                 slot_e[o].astype(np.int8))
 
-    tiles, tstart, e_T = np.unique(tile_e, return_index=True,
-                                   return_counts=True)
-    cap = _BIN_WIDTHS[-1]
-    cls = np.searchsorted(np.asarray(_BIN_WIDTHS), e_T)   # ladder index
-    cls = np.minimum(cls, len(_BIN_WIDTHS) - 1)
-    nrows_t = np.where(e_T > cap, -(-e_T // cap), 1)
+    ``layout`` (from :func:`bin_layout_of`/:func:`merge_bin_layouts`) pads
+    every class to the given row counts (extra rows carry the zero
+    sentinel sample id M, contributing nothing) so bins built for
+    different sample partitions of one grid share identical array shapes
+    and static aux — the precondition for stacking plans into the leading
+    device axis of a shard_map program.
+    """
+    (tiles, tstart, e_T, cls, nrows_t,
+     sample_id, slot_e) = _bin_entries(tid, M, touch)
+    tgt_counts, tgt_capnt = layout if layout is not None else ({}, 0)
 
     tile_idx_e = np.repeat(np.arange(len(tiles)), e_T)
-    eo = np.arange(len(tile_e)) - np.repeat(tstart, e_T)  # offset in tile
+    eo = np.arange(int(e_T.sum())) - np.repeat(tstart, e_T)  # offset in tile
 
     idx, slot, widths = [], [], []
     cap_seg, cap_ntiles = None, 0
@@ -291,11 +342,16 @@ def build_tile_adj_bins(tid, M, NT, touch=None):
     covered = np.zeros(NT, dtype=bool)
     for c, w in enumerate(_BIN_WIDTHS):
         m_t = cls == c
-        if not m_t.any():
+        tgt = tgt_counts.get(w, 0)
+        if not m_t.any() and tgt == 0:
             continue
         t_sel = np.flatnonzero(m_t)
         nr = nrows_t[t_sel]
-        n_c = int(nr.sum())
+        n_raw = int(nr.sum())
+        if layout is not None and n_raw > tgt:
+            raise ValueError(
+                f"bin layout class {w} holds {tgt} rows < {n_raw} needed")
+        n_c = max(n_raw, tgt)
         rowbase_t = np.full(len(tiles), -1, dtype=np.int64)
         rowbase_t[t_sel] = np.cumsum(nr) - nr
         m_e = m_t[tile_idx_e]
@@ -308,16 +364,21 @@ def build_tile_adj_bins(tid, M, NT, touch=None):
         idx.append(jnp.asarray(idx_c))
         slot.append(jnp.asarray(slot_c))
         widths.append(w)
-        if (nr > 1).any():
+        is_cap = w == _BIN_WIDTHS[-1] and ((nr > 1).any() or tgt_capnt)
+        if is_cap:
             # only the cap class can exceed one row per tile; its rows are
-            # pre-reduced at execution time to one row per tile
-            assert w == _BIN_WIDTHS[-1], (w, nr.max())
-            cap_seg = jnp.asarray(
-                np.repeat(np.arange(len(t_sel)), nr).astype(np.int32))
-            cap_ntiles = len(t_sel)
+            # pre-reduced at execution time to one row per tile. Padded
+            # rows fold (zeros) into the last segment, keeping ids sorted.
+            if (nr > 1).any():
+                assert w == _BIN_WIDTHS[-1], (w, nr.max())
+            cap_ntiles = max(len(t_sel), tgt_capnt)
+            seg = np.repeat(np.arange(len(t_sel)), nr)
+            seg = np.concatenate(
+                [seg, np.full(n_c - len(seg), max(cap_ntiles - 1, 0))])
+            cap_seg = jnp.asarray(seg.astype(np.int32))
         gidx[tiles[t_sel]] = row_base + np.arange(len(t_sel))
         covered[tiles[t_sel]] = True
-        row_base += len(t_sel)
+        row_base += cap_ntiles if is_cap else n_c
     gidx[~covered] = row_base                # zero sentinel row
     return TileAdjBins(idx, slot, widths,
                        gidx=jnp.asarray(gidx.astype(np.int32)),
@@ -325,7 +386,8 @@ def build_tile_adj_bins(tid, M, NT, touch=None):
 
 
 def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
-                     adjoint="binned", forward="grouped", reorder=False):
+                     adjoint="binned", forward="grouped", reorder=False,
+                     bin_layout=None):
     """Build a :class:`TileInterpPlan` (host-side, vectorized numpy).
 
     Same geometry/weight conventions as :func:`indigo_tpu.noncart.interp_mat`
@@ -346,6 +408,9 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
     ``plan.sample_perm`` (host-only, None when identity) and the caller
     must compose it into its own sample mapping — y rows then correspond
     to ``traj[plan.sample_perm]``.
+    ``bin_layout`` (a :func:`merge_bin_layouts` result) pads the binned
+    adjoint's classes to a fixed shape so plans over different sample
+    partitions of one grid stack into a shard_map device axis.
     """
     from ..noncart import kaiser_bessel, beatty_beta
 
@@ -439,11 +504,16 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
             md %= nt[d]
         tid += md * step[d]
 
-    if adjoint == "binned":
+    if adjoint in ("binned", "layout"):
         touch = touch_d[0][:, grids[0]]                   # (M, S)
         for d in range(1, nd):
             touch = touch & touch_d[d][:, grids[d]]
-        bins = build_tile_adj_bins(tid, M, int(np.prod(nt)), touch=touch)
+        if adjoint == "layout":
+            # cheap pre-pass for the sharded builder: just the class-row
+            # layout this partition needs (see bin_layout)
+            return bin_layout_of(tid, M, touch)
+        bins = build_tile_adj_bins(tid, M, int(np.prod(nt)), touch=touch,
+                                   layout=bin_layout)
     else:
         bins = None
 

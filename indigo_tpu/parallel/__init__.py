@@ -20,6 +20,7 @@ from .recon import (
     sense_normal_volsharded2, sense_vol_recon2,
 )
 from .dist_fft import fftn_sharded, fftn_sharded2
+from .e2e import SenseReconSharded, sense_recon_sharded
 
 __all__ = [
     "make_mesh", "replicated", "shard_along",
@@ -28,4 +29,5 @@ __all__ = [
     "sense_normal_volsharded2", "sense_vol_recon2",
     "fftn_sharded",
     "fftn_sharded2",
+    "SenseReconSharded", "sense_recon_sharded",
 ]

@@ -25,7 +25,8 @@ from .operators import Operator
 __all__ = ["trace", "time_apply", "roofline_report", "HBM_BYTES_PER_SEC",
            "GATHER_SEC_PER_ROW",
            "MXU_MACS_PER_SEC", "toeplitz_cg_iter_bytes",
-           "toeplitz_cg_iter_macs", "measure_hbm_bandwidth"]
+           "toeplitz_cg_iter_macs", "tile_adj_floor",
+           "measure_hbm_bandwidth"]
 
 # v5e HBM bandwidth (bytes/sec); override for other parts. This is the
 # MODEL speed-of-light; ``measure_hbm_bandwidth`` provides the measured
@@ -94,6 +95,51 @@ def toeplitz_cg_iter_macs(img_shape, nc):
     inv = sum((2 * o if r else o)
               for o, r in zip((4, 2, 1), radix))
     return (fwd + inv) * V * 128 * 9 * nc
+
+
+def tile_adj_floor(plan, K):
+    """Three-resource speed-of-light (seconds) for ONE binned tile-gather
+    adjoint apply (ops/tile_interp._adjoint_binned + the untile
+    transpose) at folded column count K (complex K' folds to K = 2K').
+
+    The terms mirror the implementation stage for stage:
+
+    * gather rows: one packed-table row per PADDED bin entry, plus the
+      NT-row commit gather — row-bound at GATHER_SEC_PER_ROW.
+    * HBM bytes: pack the (M, pw) table (write + the source reads),
+      gather-read pw bytes per entry, write the reduced rows, commit
+      (read rows_buf rows + write the tiled grid), and the untile
+      transpose (read + write the full (NT, K*128) grid).
+    * MXU MACs: the per-class dot_generals contract the padded entries
+      at f32-HIGHEST (6 bf16 passes), K*128 outputs per entry row.
+
+    Returns (floor_seconds, dict of per-term seconds).
+    """
+    bins = plan.bins
+    if bins is None:
+        raise ValueError("plan has no binned adjoint layout")
+    NT = int(np.prod(plan.nt))
+    M = plan.n_samples
+    nsup = [w.shape[1] for w in plan.wfac]
+    pw = K + sum(n * t for n, t in zip(nsup, plan.tile))
+    if pw > 24 and pw % 64:            # width-cliff pad, as in the impl
+        pw += 64 - pw % 64
+    entries = sum(int(i.shape[0]) * w
+                  for i, w in zip(bins.idx, bins.widths))
+    nred = [int(i.shape[0]) for i in bins.idx]
+    if bins.cap_seg is not None:
+        nred[-1] = bins.cap_ntiles
+    grid_b = NT * K * 128 * 4
+    t_rows = (entries + NT) * GATHER_SEC_PER_ROW
+    stream = (2 * M * pw * 4           # build the packed table
+              + entries * pw * 4       # per-entry gather reads
+              + sum(nred) * K * 128 * 4  # reduced-row writes
+              + 2 * grid_b             # commit: read rows_buf, write grid
+              + 2 * grid_b)            # untile transpose read + write
+    t_hbm = stream / HBM_BYTES_PER_SEC
+    t_mxu = entries * K * 128 * 6 / MXU_MACS_PER_SEC
+    terms = {"rows": t_rows, "hbm": t_hbm, "mxu": t_mxu}
+    return max(terms.values()), terms
 
 
 def measure_hbm_bandwidth(nbytes=1 << 29, k1=4, k2=12):

@@ -302,3 +302,36 @@ def test_plan_memusage_smaller_than_element(rng):
     # element: nnz * (4B weight + 4B index); separable: S*4B + 3*(n*t)*4B
     element_bytes = 500 * 64 * 8
     assert plan.memusage() < element_bytes
+
+
+def test_bin_layout_padding_is_neutral(rng):
+    """A plan built with an inflated bin layout (every class padded, extra
+    classes, forced cap segments) applies identically to the unpadded one —
+    the precondition for stacking per-device plans in parallel/e2e.py."""
+    from indigo_tpu.ops.tile_interp import (
+        bin_layout_of, merge_bin_layouts, _BIN_WIDTHS)
+    grid = (16, 16, 16)
+    traj = traj_with_wrap(400, 3, rng)
+    plan = plan_tile_interp(traj, grid, width=4)
+    counts = {w: int(i.shape[0]) for i, w in zip(plan.bins.idx,
+                                                 plan.bins.widths)}
+    # inflate: +7 rows per present class, one absent ladder class, and a
+    # cap class with segment reduction
+    absent = next(w for w in _BIN_WIDTHS if w not in counts)
+    inflated = ({**{w: n + 7 for w, n in counts.items()}, absent: 3,
+                 _BIN_WIDTHS[-1]: counts.get(_BIN_WIDTHS[-1], 0) + 5}, 4)
+    layout = merge_bin_layouts([inflated,
+                                (counts, plan.bins.cap_ntiles)])
+    plan_p = plan_tile_interp(traj, grid, width=4, bin_layout=layout)
+    assert plan_p.bins.cap_seg is not None
+    assert plan_p.bins.cap_ntiles == 4
+
+    y = rand64c(len(traj), 2, rng=rng)
+    out = np.asarray(tile_interp_apply(plan, y, adjoint=True))
+    out_p = np.asarray(tile_interp_apply(plan_p, y, adjoint=True))
+    np.testing.assert_array_equal(out, out_p)
+
+    # layout extraction matches what the builder actually produced
+    lay = plan_tile_interp(traj, grid, width=4, adjoint="layout")
+    assert lay == (counts, plan.bins.cap_ntiles)
+    assert merge_bin_layouts([lay, lay]) == lay
