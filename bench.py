@@ -547,6 +547,53 @@ def run_fista_cs(n=128, nc=4, lam=2e-3, iters=100, cpu=False):
     return {"ips": ips, "oracle_err": err, "truth_err": err_truth}
 
 
+def run_serving(n=256, nc=8, iters=10):
+    """Serving lane: the compiled SenseRecon pipeline at the full config-3
+    acquisition (SURVEY.md §3.4). Reports the warm device-resident solve
+    (rhs build + CG, the production number on a host-attached chip), the
+    device->host egress of one volume on this link, and the overlapped
+    3-acquisition stream rate (egress of k rides under the solve of k+1 —
+    SenseRecon.stream), which should sit near the compute-only rate even
+    on this sandbox's slow tunnel."""
+    import jax
+    from indigo_tpu.models import SenseRecon
+
+    traj, img_shape, maps, _ = build_problem(n=n, nspokes=16 * n, nread=n)
+    maps = maps[:nc]
+    rng = np.random.default_rng(5)
+    M = len(traj)
+    t0 = time.time()
+    recon = SenseRecon(traj, maps, iters=iters,
+                       coil_chunk=4 if n >= 256 else None)
+    t_init = time.time() - t0
+    ys = [(rng.standard_normal((nc * M,), dtype=np.float32)
+           + 1j * rng.standard_normal((nc * M,), dtype=np.float32)
+           ).astype(np.complex64) for _ in range(3)]
+
+    def dev_solve(y):
+        x = recon(y, output="device")
+        jax.block_until_ready((x.re, x.im))
+        return x
+
+    t0 = time.time()
+    x0 = dev_solve(ys[0])
+    t_first = time.time() - t0
+    t0 = time.time()
+    x0 = dev_solve(ys[0])
+    t_warm = time.time() - t0
+    t0 = time.time()
+    _ = np.asarray(x0.re) + 1j * np.asarray(x0.im)
+    t_egress = time.time() - t0
+    t0 = time.time()
+    out = list(recon.stream(ys))
+    t_stream = (time.time() - t0) / len(out)
+    log(f"serving {n}^3 {nc}-coil: init {t_init:.1f}s first {t_first:.1f}s "
+        f"warm {t_warm:.2f}s (device-resident) egress {t_egress:.2f}s "
+        f"stream {t_stream:.2f}s/acq over {len(out)}")
+    return {"warm_s": t_warm, "egress_s": t_egress, "stream_s": t_stream,
+            "first_s": t_first}
+
+
 def run_sharded_vol(n=256, iters=10, nspokes=None, nread=None):
     """n^3 volume-sharded (tensor-parallel) over all visible devices.
 
@@ -676,6 +723,11 @@ def main():
              vs=vs("fista_128", f["ips"]),
              rel_err_vs_oracle=round(f["oracle_err"], 6),
              rel_err_vs_truth=round(f["truth_err"], 4))
+        s = run_serving()
+        emit("serving_warm_seconds_3d_256c8", s["warm_s"], unit="seconds",
+             egress_seconds=round(s["egress_s"], 2),
+             stream_seconds_per_acq=round(s["stream_s"], 2),
+             delivery="device")
 
     configs = [64] if small else ([256] if huge else [256, 128])
     for n in configs:

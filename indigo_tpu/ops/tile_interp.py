@@ -238,8 +238,15 @@ jax.tree_util.register_pytree_node(
     TileInterpPlan.tree_unflatten)
 
 
-# expanded-weight scratch bound for the binned adjoint's class chunking
-_BIN_SCRATCH_ELEMS = 1 << 26
+# expanded-weight scratch bound for the binned adjoint's class chunking.
+# Counter-intuitively SMALL (8 MB of f32): the per-class work runs as a
+# lax.map over row chunks, and v5e prefers many small steps (the gather,
+# weight-expand and matmul of successive steps pipeline; big chunks
+# serialize through memory). Measured on v5e (round 4): 128^3 radial
+# adjoint 28.7 -> 15.3 ms (K=2) / 30.6 -> 17.3 ms (K=16), 256^3/1M-sample
+# K=16 185 -> 87 ms vs the old 1<<26; the optimum is flat in [2^20, 2^23]
+# at both scales and degrades monotonically above 2^24.
+_BIN_SCRATCH_ELEMS = 1 << 21
 
 # padded entry-count classes for the binned adjoint: power-of-2 ladder + a
 # cap, tiles denser than the cap span several rows. Every per-entry cost

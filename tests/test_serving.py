@@ -125,3 +125,23 @@ def test_device_output(pipeline):
     assert recon.last_iters is not None
     with pytest.raises(ValueError):
         recon(y, output="banana")
+
+
+def test_stream_matches_sequential(pipeline):
+    """Overlapped-egress streaming yields exactly the per-call results, in
+    order (SURVEY.md §3.4 serving: egress of acquisition k rides under the
+    solve of k+1)."""
+    recon, maps, shape = pipeline
+    rng = np.random.default_rng(3)
+    ys = [rand64c(4 * recon.n_samples, rng=rng) for _ in range(3)]
+    seq = [recon(y) for y in ys]
+    streamed = list(recon.stream(ys))
+    assert len(streamed) == 3
+    for a, b in zip(streamed, seq):
+        assert a.shape == shape
+        assert rel_err(a.ravel(), b.ravel()) < 1e-6
+
+    dev = list(recon.stream(ys[:2], output="device"))
+    assert all(isinstance(x, it.cplx.CPair) for x in dev)
+    got = np.asarray(dev[1].re) + 1j * np.asarray(dev[1].im)
+    assert rel_err(got.ravel(), seq[1].ravel()) < 1e-6
