@@ -46,6 +46,7 @@ __all__ = [
     "dft_pad2x_mats", "block_perm", "block_spectrum",
     "fft_pad2x_block", "ifft_crop2x_block", "toeplitz_apply_block",
     "centered_pad_dft_mat", "dft_nd_apply",
+    "tiled_idft_mats", "tiled_idft_apply",
 ]
 
 
@@ -153,6 +154,84 @@ def dft_nd_apply(x, mats, precision="highest"):
     for M in mats:
         x = _stage(x, M, precision)
     return x
+
+
+def tiled_idft_mats(img_shape, grid_shape, tile):
+    """Per-axis ADJOINT CenteredDFT matrices in tiled form: (N_d, nt_d, T_d).
+
+    The adjoint factor conj(centered_pad_dft_mat(n, g)).T (n, g) with its
+    grid axis split into (tile id, within-tile) index pairs — the shape
+    :func:`tiled_idft_apply` contracts directly against the tiled grid
+    layout of ops/tile_interp. Requires every grid dim divisible by its
+    tile (the periodic no-halo tiling: plan.ext == plan.grid_shape).
+    """
+    mats = []
+    for n, g, t in zip(img_shape, grid_shape, tile):
+        assert g % t == 0, (g, t)
+        m = np.conj(centered_pad_dft_mat(n, g)).T
+        mats.append(np.ascontiguousarray(m.reshape(n, g // t, t)))
+    return mats
+
+
+def tiled_idft_apply(xt, nt, T, mats, folded=True, precision="highest"):
+    """Adjoint CenteredDFT applied DIRECTLY to the tiled grid layout.
+
+    xt: (NT, K*128) real f32 tiled grid (ops/tile_interp layout: tile ids
+    major, K above the 128 within-tile lanes) — exactly what the tile
+    adjoint produces. Each axis d is ONE double contraction over its
+    (tile id, within-tile) index pair against mats[d], a (re, im) pair
+    shaped (N_d, nt_d, T_d) (:func:`tiled_idft_mats`), so the untile
+    transpose + periodic halo fold of ops/tile_interp.untile_grid never
+    materialize (measured 125 -> 70 ms at 256^3 K=16 on v5e, 3.9x at
+    128^3). With ``folded`` the K lanes carry re/im halves (first half
+    real, tile_interp_apply's complex folding) and Kc = K//2; otherwise
+    the input is K real columns. Returns a (re, im) pair of (Kc, *img)
+    f32 arrays.
+    """
+    import jax.lax as lax
+
+    nd = len(nt)
+    lanes = int(np.prod(T))
+    NT = int(np.prod(nt))
+    K = xt.shape[1] // lanes
+    x3 = xt.reshape(NT, K, lanes)
+    if folded:
+        Kc = K // 2
+        ar, ai = x3[:, :Kc], x3[:, Kc:]
+    else:
+        Kc = K
+        ar, ai = x3, None
+    # flattened 4-axis state: (remaining tile ids, Kc, remaining
+    # within-tile lanes, produced image dims); stage d peels (nt_d, T_d)
+    # off the front of their groups and appends N_d to the back — pure
+    # reshapes between stages, no transposes
+    RNT, RT, PN = NT, lanes, 1
+    ar = ar.reshape(RNT, Kc, RT, 1)
+    if ai is not None:
+        ai = ai.reshape(RNT, Kc, RT, 1)
+    dims = (((0, 3), (1, 2)), ((), ()))
+
+    def dot(a, b):
+        return lax.dot_general(a, b, dims, precision=precision)
+
+    for d in range(nd):
+        br, bi = mats[d]
+        n_d = br.shape[0]
+        RNT //= int(nt[d])
+        RT //= int(T[d])
+        sh = (int(nt[d]), RNT, Kc, int(T[d]), RT, PN)
+        lr = ar.reshape(sh)
+        yr = dot(lr, br)
+        yi = dot(lr, bi)
+        if ai is not None:
+            li = ai.reshape(sh)
+            yr = yr - dot(li, bi)
+            yi = yi + dot(li, br)
+        PN *= n_d
+        ar = yr.reshape(RNT, Kc, RT, PN)
+        ai = yi.reshape(RNT, Kc, RT, PN)
+    img = tuple(int(m[0].shape[0]) for m in mats)
+    return ar.reshape((Kc,) + img), ai.reshape((Kc,) + img)
 
 
 def toeplitz_apply_block(Tfb, v, precision="highest"):

@@ -958,17 +958,44 @@ def tile_interp_apply(plan, x, adjoint=False, chunk=None):
         target = (1 << 30) if (adjoint and K > 4) else (1 << 28)
         chunk = max(1024, target // (plan.S * K * 512))
     if adjoint:
-        assert x.shape[0] == M, (x.shape, M)
-        NT = int(np.prod(plan.nt))
-        if plan.bins is not None:
-            scratch = (chunk * plan.S * K * 128 if explicit_chunk
-                       else _BIN_SCRATCH_ELEMS)
-            xt = _adjoint_binned(plan, x, K, NT, scratch=scratch)
-        else:
-            xt = _adjoint(plan, x, K, NT, chunk)
-        return untile_grid(plan, xt, K)
+        return untile_grid(plan, _adjoint_tiled_real(plan, x, chunk,
+                                                     explicit_chunk), K)
     assert x.shape[0] == N, (x.shape, N)
     xt = tile_grid(plan, x)
     if plan.fgroups is not None:
         return _forward_grouped(plan, xt, K, chunk)
     return _forward(plan, xt, K, chunk)
+
+
+def _adjoint_tiled_real(plan, x, chunk, explicit_chunk):
+    """Adjoint gridding of real (M, K) samples to the TILED grid layout."""
+    K = x.shape[1]
+    assert x.shape[0] == plan.n_samples, (x.shape, plan.n_samples)
+    NT = int(np.prod(plan.nt))
+    if plan.bins is not None:
+        scratch = (chunk * plan.S * K * 128 if explicit_chunk
+                   else _BIN_SCRATCH_ELEMS)
+        return _adjoint_binned(plan, x, K, NT, scratch=scratch)
+    return _adjoint(plan, x, K, NT, chunk)
+
+
+def tile_adjoint_tiled(plan, x, chunk=None):
+    """Adjoint gridding G^H to the tiled layout, skipping the untile.
+
+    x: (M, K) samples, complex or real. Complex inputs fold re/im into the
+    K axis exactly like :func:`tile_interp_apply`. Returns ``(xt, folded)``
+    with xt the (NT, Kf*128) f32 tiled grid (Kf = 2K when ``folded``) —
+    the layout :func:`indigo_tpu.ops.dft_fft.tiled_idft_apply` consumes
+    directly, fusing away the untile transpose + periodic fold.
+    """
+    folded = bool(jnp.iscomplexobj(x))
+    if folded:
+        K = x.shape[1]
+        x = jnp.concatenate([x.real, x.imag], axis=1)
+    x = x.astype(jnp.float32)
+    K = x.shape[1]
+    explicit_chunk = chunk is not None
+    if chunk is None:
+        target = (1 << 30) if K > 4 else (1 << 28)
+        chunk = max(1024, target // (plan.S * K * 512))
+    return _adjoint_tiled_real(plan, x, chunk, explicit_chunk), folded

@@ -335,3 +335,48 @@ def test_bin_layout_padding_is_neutral(rng):
     lay = plan_tile_interp(traj, grid, width=4, adjoint="layout")
     assert lay == (counts, plan.bins.cap_ntiles)
     assert merge_bin_layouts([lay, lay]) == lay
+
+
+@pytest.mark.parametrize("img,grid", [
+    ((12, 12, 10), (16, 16, 16)),     # 3D tile (4,4,8) divides grid
+    ((20, 26), (24, 32)),             # 2D tile (8,16) divides grid
+])
+def test_fused_tiled_adjoint_idft(img, grid, rng):
+    """tile_adjoint_tiled + tiled_idft_apply == untile + CenteredDFT
+    adjoint (the fused rhs path skips the untile transpose + fold)."""
+    from indigo_tpu.operators import CenteredDFT
+    from indigo_tpu.ops.dft_fft import tiled_idft_mats, tiled_idft_apply
+    from indigo_tpu.ops.tile_interp import tile_adjoint_tiled
+
+    d = len(grid)
+    traj = traj_with_wrap(300, d, rng)
+    beta = noncart.beatty_beta(4, 1.5)
+    plan = plan_tile_interp(traj, grid, width=4, beta=beta)
+    assert plan.ext == tuple(grid)  # periodic no-halo tiling
+    Kc = 3
+    y = rand64c(300, Kc, rng=rng)
+
+    # unfused reference chain
+    xg = tile_interp_apply(plan, y, adjoint=True)          # (N, Kc)
+    F = CenteredDFT(img, grid)
+    ref = np.asarray(F.apply(np.asarray(xg), adjoint=True))  # (n, Kc)
+
+    xt, folded = tile_adjoint_tiled(plan, y)
+    assert folded
+    mats = [(m.real.copy(), m.imag.copy())
+            for m in tiled_idft_mats(img, grid, plan.tile)]
+    ar, ai = tiled_idft_apply(xt, plan.nt, plan.tile, mats)
+    got = (np.asarray(ar) + 1j * np.asarray(ai)).reshape(Kc, -1).T
+    assert rel_err(got, ref) < 2e-5
+
+    # real input: folded=False path
+    yr = np.asarray(y.real, np.float32)
+    xt_r, folded_r = tile_adjoint_tiled(plan, yr)
+    assert not folded_r
+    ar2, ai2 = tiled_idft_apply(xt_r, plan.nt, plan.tile, mats,
+                                folded=False)
+    got_r = (np.asarray(ar2) + 1j * np.asarray(ai2)).reshape(Kc, -1).T
+    ref_r = np.asarray(F.apply(np.asarray(
+        tile_interp_apply(plan, yr, adjoint=True)).astype(np.complex64),
+        adjoint=True))
+    assert rel_err(got_r, ref_r) < 2e-5
