@@ -22,7 +22,7 @@ from . import (
 from .backends import get_backend, available_backends
 from .operators import (
     Operator, SpMatrix, KBInterp, DenseMatrix, Diag, UnscaledFFT,
-    CenteredDFT, Eye, One, Mask,
+    CenteredDFT, GridDFT, Eye, One, Mask,
     CropPad, Perm, Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
 from .solvers import cg, apgd, fista, max_eigen, soft_thresh

@@ -16,8 +16,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..operators import (
-    Operator, SpMatrix, KBInterp, Diag, UnscaledFFT, CenteredDFT, KronI,
-    VStack, Scale, Product, CropPad, Perm, Mask,
+    Operator, SpMatrix, KBInterp, Diag, UnscaledFFT, CenteredDFT, GridDFT,
+    KronI, VStack, Scale, Product, CropPad, Perm, Mask,
 )
 from .. import noncart
 from ..noncart import (
@@ -98,7 +98,11 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
       * 'mm'   — ONE fused :class:`CenteredDFT` leaf: per-axis MXU matmul-
         DFT with the pad and fftshift checkerboards folded into the
         matrices (no padded volume, no shift passes, no Bluestein for
-        non-pow2 grids like 320). Exactly equal to the chain.
+        non-pow2 grids like 320). Exactly equal to the chain. When
+        ``interp='tile'`` lands on a periodic no-halo tiling (every grid
+        dim divisible by its tile — all production grids), G and Fc . Z
+        further fuse into ONE :class:`GridDFT` leaf whose adjoint
+        contracts the tiled grid layout directly (no untile transpose).
       * 'xla'  — the explicit Fc . Z chain over XLA's FFT.
       * 'auto' — 'mm' when every grid dim is even and <= 512 (where the
         matmul-DFT measures faster than the XLA FFT on TPU and the
@@ -178,7 +182,14 @@ def nufft_op(traj, img_shape, oversamp=1.5, width=4, beta=None, sort=True,
         fft = ("mm" if all(g % 2 == 0 and g <= 512 for g in grid_shape)
                else "xla")
     da = deapodization(img_shape, grid_shape, width=width, beta=beta)
-    if fft == "mm":
+    if (fft == "mm" and interp == "tile"
+            and tuple(G.plan.ext) == grid_shape):
+        # periodic no-halo tiling: fuse gridding + padded DFT into ONE
+        # leaf whose adjoint contracts the tiled grid layout directly
+        # (no untile transpose — see operators.GridDFT)
+        G = GridDFT(G.plan, img_shape, name="GridDFT")
+        factors = []
+    elif fft == "mm":
         factors = chain + [CenteredDFT(img_shape, grid_shape, name="PadDFT")]
     else:
         Fc = centered_fft_op(grid_shape)

@@ -39,7 +39,7 @@ from .sparse import (
 __all__ = [
     "Operator",
     "SpMatrix", "KBInterp", "DenseMatrix", "Diag", "UnscaledFFT",
-    "CenteredDFT", "Eye", "One", "CropPad", "Perm", "Mask",
+    "CenteredDFT", "GridDFT", "Eye", "One", "CropPad", "Perm", "Mask",
     "Product", "Adjoint", "KronI", "BlockDiag", "VStack", "HStack", "Scale",
 ]
 
@@ -576,6 +576,145 @@ class CenteredDFT(Operator):
         obj = cls.__new__(cls)
         (obj._mats,) = children
         obj._img, obj._grid, obj._name = aux
+        return obj
+
+
+@register_pytree_node_class
+class GridDFT(Operator):
+    """Fused KBInterp . CenteredDFT: the Type-2 NUFFT core G Fc Z as ONE
+    leaf.
+
+    Structurally equal to ``KBInterp(plan) * CenteredDFT(img_shape,
+    plan.grid_shape)``. The fusion pays in the ADJOINT — the gridded rhs
+    build A^H W y, the dominant serving stage: the tile-gather adjoint's
+    native output IS the tiled grid layout, and the adjoint DFT matrices
+    contract that layout directly over (tile id, within-tile) index pairs
+    (ops/dft_fft.tiled_idft_apply), so the untile transpose + periodic
+    fold — 155 of 242 ms of the 256^3 K=16 adjoint, 21 of 33 ms at 128^3
+    on v5e — never materialize. The forward runs the same unfused chain
+    as the two-leaf form (the tile_grid transpose measured cheap in that
+    direction).
+
+    Requires the periodic no-halo tiling: every grid dim divisible by its
+    tile (``plan.ext == plan.grid_shape`` — true for all production
+    grids; the nufft_op builder falls back to the two-leaf chain
+    otherwise). Reference parity: the G . F . Z stages of the SENSE
+    composition (SURVEY.md §3.4) realized as one operator — the same
+    rewrite-to-one-leaf treatment the reference's RealizeMatrices pass
+    gives adjacent sparse matrices.
+    """
+
+    def __init__(self, plan, img_shape, name=None, _mats=None):
+        from .ops.dft_fft import centered_pad_dft_mat
+
+        grid = tuple(int(g) for g in plan.grid_shape)
+        if tuple(plan.ext) != grid:
+            raise ValueError(
+                "GridDFT requires the periodic no-halo tiling "
+                f"(plan.ext == grid_shape), got ext={plan.ext} "
+                f"grid={grid}; use KBInterp * CenteredDFT instead")
+        self._img = tuple(int(s) for s in img_shape)
+        if len(self._img) != len(grid):
+            raise ValueError("rank mismatch")
+        for n, g in zip(self._img, grid):
+            if n > g:
+                raise ValueError("img_shape must fit inside grid_shape")
+            if g % 2:
+                raise ValueError("centered FFT requires even grid dims")
+        self._plan = plan
+        self._name = name
+        if _mats is None:
+            _mats = tuple(as_payload(centered_pad_dft_mat(n, g))
+                          for n, g in zip(self._img, grid))
+        self._mats = _mats
+
+    @property
+    def plan(self):
+        return self._plan
+
+    @property
+    def img_shape(self):
+        return self._img
+
+    @property
+    def grid_shape(self):
+        return self._plan.grid_shape
+
+    @property
+    def shape(self):
+        return (self._plan.n_samples, int(np.prod(self._img)))
+
+    @property
+    def dtype(self):
+        return jnp.complex64
+
+    def _tiled_mats(self):
+        """Adjoint DFT matrices in (re, im) tiled (N_d, nt_d, T_d) form."""
+        tm = []
+        for m, t in zip(self._mats, self._plan.tile):
+            a = jnp.conj(unpack(m)).T               # (n, g)
+            a = a.reshape(a.shape[0], -1, t)        # (n, g//t, t)
+            tm.append((jnp.real(a), jnp.imag(a)))
+        return tm
+
+    def apply(self, x, adjoint=False):
+        from .ops.dft_fft import dft_nd_apply, tiled_idft_apply
+        from .ops.tile_interp import (
+            tile_interp_apply, tile_adjoint_tiled, tile_forward_tiled)
+
+        plan = self._plan
+        K = x.shape[1]
+        if not adjoint:
+            v = x.T.reshape((K,) + self._img)
+            if len(self._img) >= 3:
+                # fused: tiled spectrum via the real transpose of the
+                # adjoint contraction (pure dot_generals — XLA transposes
+                # them back, no scatter), then the grouped tile-gather
+                # forward; tile_grid's pad+transpose never materializes
+                # (128^3 K=2 fwd measured 11.1 -> 4.2 ms on v5e)
+                ar = jnp.real(v).astype(jnp.float32)
+                ai = jnp.imag(v).astype(jnp.float32)
+                tm = self._tiled_mats()
+                NT = int(np.prod(plan.nt))
+                spec = jax.ShapeDtypeStruct((NT, 2 * K * 128), jnp.float32)
+                f = lambda xt: tiled_idft_apply(    # noqa: E731
+                    xt, plan.nt, plan.tile, tm, folded=True)
+                (xt,) = jax.linear_transpose(f, spec)((ar, ai))
+                y = tile_forward_tiled(plan, xt)    # (M, 2K)
+                return jax.lax.complex(y[:, :K], y[:, K:])
+            mats = [unpack(m) for m in self._mats]
+            y = dft_nd_apply(v.astype(jnp.complex64), mats).reshape(K, -1).T
+            return tile_interp_apply(plan, y)
+        xt, folded = tile_adjoint_tiled(plan, x)
+        ar, ai = tiled_idft_apply(xt, plan.nt, plan.tile,
+                                  self._tiled_mats(), folded=folded)
+        Kc = ar.shape[0]
+        return jax.lax.complex(ar, ai).reshape(Kc, -1).T
+
+    def cost(self, ncols=1):
+        # interp part + DFT stages, minus the flat complex grid vector the
+        # unfused chain writes+reads between the two leaves (the fused
+        # adjoint hands the tiled layout straight to the contraction)
+        fi, bi = KBInterp(self._plan).cost(ncols)
+        fd, bd = CenteredDFT(self._img, self.grid_shape,
+                             _mats=self._mats).cost(ncols)
+        N = int(np.prod(self.grid_shape))
+        return fi + fd, bi + bd - 2 * N * ncols * 8
+
+    def _describe(self):
+        p = self._plan
+        return (f"{self.name}{list(self._img)}->{list(p.grid_shape)} "
+                f"<{self.shape[0]}x{self.shape[1]}> width={p.width} "
+                f"S={p.S} payload={p.memusage() / 1e6:.0f}MB")
+
+    def tree_flatten(self):
+        return (self._plan, self._mats), (self._img, self._name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._plan, obj._mats = children
+        obj._img, obj._name = aux
         return obj
 
 

@@ -979,6 +979,23 @@ def _adjoint_tiled_real(plan, x, chunk, explicit_chunk):
     return _adjoint(plan, x, K, NT, chunk)
 
 
+def tile_forward_tiled(plan, xt, chunk=None):
+    """Forward interpolation G from the TILED grid layout (NT, K*128).
+
+    Dual of :func:`tile_adjoint_tiled`: callers producing the tiled layout
+    directly (the transposed tiled DFT — see operators.GridDFT) skip
+    tile_grid's pad+transpose. Returns (M, K) real f32 samples; complex
+    folding (if any) is the caller's convention on the K axis.
+    """
+    K = xt.shape[1] // 128
+    if chunk is None:
+        target = (1 << 28)
+        chunk = max(1024, target // (plan.S * K * 512))
+    if plan.fgroups is not None:
+        return _forward_grouped(plan, xt, K, chunk)
+    return _forward(plan, xt, K, chunk)
+
+
 def tile_adjoint_tiled(plan, x, chunk=None):
     """Adjoint gridding G^H to the tiled layout, skipping the untile.
 

@@ -244,3 +244,45 @@ def test_dump_and_memusage(rng):
     s = op.dump()
     assert "KronI" in s and "SpMatrix" in s and "UnscaledFFT" in s
     assert op.memusage() > 0
+
+
+@pytest.mark.parametrize("img,oversamp", [
+    ((16, 16), 2.0),            # 2D grid (32,32): tile (8,16) divides
+    ((8, 8, 8), 2.0),           # 3D grid (16,16,16): tile (4,4,8) divides
+])
+def test_nufft_op_fused_griddft(img, oversamp, rng):
+    """On periodic no-halo tilings nufft_op emits ONE fused GridDFT leaf
+    that matches the unfused fft='xla' chain in both directions and
+    satisfies the adjoint identity."""
+    from indigo_tpu.models import nufft_op
+
+    d = len(img)
+    traj = (rng.random((120, d)) - 0.5).astype(np.float64)
+    A_f, _ = nufft_op(traj, img, oversamp=oversamp, width=4, fft="mm",
+                      interp="tile")
+    A_x, _ = nufft_op(traj, img, oversamp=oversamp, width=4, fft="xla",
+                      interp="tile")
+    names = []
+    stack = [A_f]
+    while stack:
+        op = stack.pop()
+        names.append(type(op).__name__)
+        stack.extend(op.children())
+    assert "GridDFT" in names
+    assert "CenteredDFT" not in names and "KBInterp" not in names
+
+    n = int(np.prod(img))
+    x = rand64c(n, 3, rng=rng)
+    assert rel_err(np.asarray(A_f * x), np.asarray(A_x * x)) < 2e-5
+    y = rand64c(A_f.shape[0], 3, rng=rng)
+    adj_f = np.asarray(A_f.H * y)
+    assert rel_err(adj_f, np.asarray(A_x.H * y)) < 2e-5
+    # adjoint identity <Ax, y> == <x, A^H y>
+    lhs = np.vdot(np.asarray(A_f * x), y)
+    rhs = np.vdot(x, adj_f)
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+    # cost model: fused leaf cheaper in bytes than the two-leaf chain
+    ff, bf = A_f.cost(3)
+    fx, bx = (nufft_op(traj, img, oversamp=oversamp, width=4, fft="mm",
+                       interp="tile")[0]).cost(3)
+    assert ff > 0 and bf > 0
