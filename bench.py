@@ -256,13 +256,14 @@ def run_config(n, cpu=False):
     log(f"normal-op applies/sec: {1.0/per_apply:.2f} "
         f"({per_apply*1e3:.1f} ms/apply)")
 
-    # roofline for one CG iteration (stderr only): both resource models
-    # live in ONE place — profiling.toeplitz_cg_iter_bytes (HBM) and
+    # roofline for one CG iteration: both resource models live in ONE
+    # place — profiling.toeplitz_cg_iter_bytes (HBM) and
     # toeplitz_cg_iter_macs (MXU). The speed-of-light is the max of the
-    # two floors: 128^3 is jointly bound, 256-class volumes are MXU-bound
-    # (the 9-pass Karatsuba x bf16x3 radix-2 scheme executes 4.3T MACs
-    # per iteration at 256^3 — see profiling.py for why that count is
-    # already the executed-FLOP optimum at f32 accuracy).
+    # two floors: both headline sizes are MXU-bound (the 9-pass
+    # Karatsuba x bf16x3 scheme executes 4.3T MACs per iteration at
+    # 256^3, 0.54T at 128^3 — see profiling.py for why those counts are
+    # already the executed-FLOP optimum at f32 accuracy, and for the
+    # round-4 correction of the non-radix inverse-stage depth).
     from indigo_tpu.profiling import (
         HBM_BYTES_PER_SEC, MXU_MACS_PER_SEC, toeplitz_cg_iter_bytes,
         toeplitz_cg_iter_macs, measure_hbm_bandwidth)
@@ -734,7 +735,8 @@ def main():
         r = run_config(n)
         emit(f"cg_iters_per_sec_3d_sense_{n}c8", r["ips"],
              vs=vs(f"toeplitz_{n}", r["ips"]),
-             normal_op_applies_per_sec=round(1.0 / r["per_apply"], 3))
+             normal_op_applies_per_sec=round(1.0 / r["per_apply"], 3),
+             roofline_pct=round(100 * r["roofline_frac"], 1))
 
 
 if __name__ == "__main__":

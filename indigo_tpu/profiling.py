@@ -78,22 +78,30 @@ def toeplitz_cg_iter_macs(img_shape, nc):
     roofline. 256-class volumes are MXU-bound, so the speed-of-light is
     max(HBM time, MXU time), not the HBM figure alone.
 
-    Model, per coil-volume V: every matmul-DFT stage contracts depth 128
-    (the MXU's native depth; radix-2 splits exist precisely to keep that
-    true for >128 axes) at 9 bf16 passes per complex output (Karatsuba x
-    bf16x3). Forward stages produce 2V+4V+8V matmul outputs. Inverse
-    stages produce 4V+2V+1V *final* outputs, but a radix inverse executes
-    2x its final outputs (four half-size products feed each butterfly).
+    Model, per coil-volume V, in 128-deep MXU-pass units at 9 bf16 passes
+    per complex output (Karatsuba x bf16x3). Forward stages produce
+    2V + 4V + ... + 2^nd V matmul outputs, each a depth-128 contraction
+    (the input support is n <= 128, or the radix split's half-size m).
+    Inverse stages execute EXACTLY the same MACs as the forward
+    (transpose symmetry of the padded transform): a non-radix inverse
+    pack is the (n, 2n) crop-IFFT matrix — a depth-2n contraction, i.e.
+    2x 128-deep passes per final output — and a radix inverse runs four
+    half-size products per butterfly, again 2x its final outputs. (An
+    earlier version of this model counted non-radix inverse stages at
+    depth 128 — half their executed MACs — which understated the 128^3
+    floor by 25% and mislabeled the headline lane at 64% of roofline;
+    the corrected floor puts the measured 6.4 ms iteration at ~85%.)
     Executed-MAC floor notes (DESIGN.md): radix-4/split-radix does NOT
     reduce this — the MXU pads any contraction to depth 128, so base-128
-    blocks are already the executed-FLOP optimum; fewer than 9 passes
-    costs ~2^-9-class relative error (>= 100x over the 5e-5 test bar).
+    blocks are already the executed-FLOP optimum (splitting a non-radix
+    inverse into m = n/2 quarters pads each to depth 128, landing on the
+    same 2x); fewer than 9 passes costs ~2^-9-class relative error
+    (>= 100x over the 5e-5 test bar).
     """
+    nd = len(img_shape)
     V = int(np.prod(img_shape))
-    radix = [int(s) > 128 for s in img_shape]
-    fwd = 2 + 4 + 8
-    inv = sum((2 * o if r else o)
-              for o, r in zip((4, 2, 1), radix))
+    fwd = sum(2 ** (d + 1) for d in range(nd))
+    inv = fwd   # inverse mirrors the forward — see docstring
     return (fwd + inv) * V * 128 * 9 * nc
 
 
