@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import cplx
@@ -211,9 +212,47 @@ def apgd(gradf, proxg, alpha, x0, maxiter=100, history=False, tol=0.0,
     step norms ``deltas`` (frozen after convergence) and, if ``objective``
     is given, ``objs``.
     """
-    core = lambda x0: _apgd_core(gradf, proxg, alpha, x0, maxiter, history,
-                                 tol, objective)
-    return cplx.eager_call(core, x0)
+    leaves = jax.tree_util.tree_leaves((alpha, x0))
+    traced = any(isinstance(l, jax.core.Tracer) for l in leaves)
+    if traced or cplx.supports_complex_buffers():
+        return _apgd_core(gradf, proxg, alpha, x0, maxiter, history,
+                          tol, objective)
+    # Eager on a complex-incapable backend: cache the complex-safe jit
+    # wrapper on (gradf, proxg, static config) so repeated solves hit one
+    # executable. A fresh wrapper per call (the old eager_call path) paid
+    # a full retrace + a remote-compile-cache RPC EVERY call on this
+    # sandbox — a ~3 s fixed cost with seconds of jitter that made the
+    # FISTA bench lane's per-iteration differencing pure noise (the r4
+    # 526-vs-5053 iters/s contradiction; see DESIGN.md). alpha rides in
+    # as a traced argument so a changed step size does not recompile.
+    fn = _apgd_callable_cjit(gradf, proxg,
+                             (int(maxiter), bool(history), float(tol),
+                              objective))
+    if fn is None:  # gradf not weakref-able; one-shot complex-safe jit
+        core = lambda x0: _apgd_core(gradf, proxg, alpha, x0, maxiter,
+                                     history, tol, objective)
+        return cplx.eager_call(core, x0)
+    return fn(np.float32(alpha), x0)
+
+
+_apgd_cache = weakref.WeakKeyDictionary()
+
+
+def _apgd_callable_cjit(gradf, proxg, cfg):
+    """Compiled-FISTA cache keyed on the gradient callable (weakly, so user
+    closures aren't pinned) then on (proxg, maxiter, history, tol,
+    objective). Returns None when ``gradf`` cannot be weak-referenced."""
+    try:
+        cfgs = _apgd_cache.setdefault(gradf, {})
+    except TypeError:
+        return None
+    key = (proxg, cfg)
+    if key not in cfgs:
+        maxiter, history, tol, objective = cfg
+        cfgs[key] = cplx.cjit(
+            lambda alpha, x0: _apgd_core(gradf, proxg, alpha, x0, maxiter,
+                                         history, tol, objective))
+    return cfgs[key]
 
 
 def _apgd_core(gradf, proxg, alpha, x0, maxiter, history, tol=0.0,
@@ -269,8 +308,24 @@ def max_eigen(A, n, iters=30, key=None, dtype=jnp.complex64):
 
     Used to pick the FISTA step size alpha = 1 / L. Runs as one lax.scan.
     """
+    if (isinstance(A, Operator) and not cplx.supports_complex_buffers()
+            and not any(isinstance(l, jax.core.Tracer)
+                        for l in jax.tree_util.tree_leaves(A))):
+        # operators are pytrees: ride in as a jit ARGUMENT so repeated
+        # calls share one executable per (n, iters, dtype) instead of
+        # paying a retrace + remote-compile-cache RPC per call
+        return _max_eigen_cjit(int(n), int(iters),
+                               jnp.dtype(dtype).name)(
+            A, key if key is not None else jax.random.PRNGKey(0))
     core = lambda A: _max_eigen_core(A, n, iters, key, dtype)
     return cplx.eager_call(core, A)
+
+
+@functools.lru_cache(maxsize=64)
+def _max_eigen_cjit(n, iters, dtype_name):
+    dtype = jnp.dtype(dtype_name)
+    return cplx.cjit(
+        lambda A, key: _max_eigen_core(A, n, iters, key, dtype))
 
 
 def _max_eigen_core(A, n, iters, key, dtype):

@@ -177,3 +177,60 @@ def test_pcg_operator_precond(rng):
     x, info = cg(it.DenseMatrix(A), b, tol=1e-10, maxiter=100, precond=Mi)
     assert int(info["iters"]) <= 3   # exact preconditioner: ~1 step
     assert rel_err(np.asarray(x), b / d) < 1e-5
+
+
+def test_apgd_cached_no_retrace(rng, monkeypatch):
+    """Repeated eager apgd solves with the same (gradf, proxg) reuse one
+    compiled executable on the complex-incapable path, and a changed
+    step size alpha does NOT recompile (it rides in as a traced arg).
+
+    This is the round-4 FISTA bench-lane bug: a fresh cjit wrapper per
+    call paid a retrace + remote-compile RPC every solve (~3 s of pure
+    overhead with seconds of jitter on the sandbox tunnel), which made
+    per-iteration differencing meaningless (the 526-vs-5053 iters/s
+    artifact — see DESIGN.md)."""
+    import indigo_tpu.cplx as cplx
+    monkeypatch.setattr(cplx, "supports_complex_buffers", lambda: False)
+    n = 64
+    d = np.geomspace(1.0, 50.0, n).astype(np.float32)
+    b = rand64c(n, rng=rng)
+    traces = [0]
+
+    def gradf(x):
+        traces[0] += 1           # incremented per TRACE, not per solve
+        return jnp.asarray(d) * x - jnp.asarray(b)
+
+    proxg = lambda v, a: v
+    x1, _ = apgd(gradf, proxg, 1.0 / float(d.max()),
+                 np.zeros(n, np.complex64), maxiter=200)
+    after_first = traces[0]
+    assert after_first > 0
+    x2, _ = apgd(gradf, proxg, 1.0 / float(d.max()),
+                 np.zeros(n, np.complex64), maxiter=200)
+    assert traces[0] == after_first, "apgd re-traced on second call"
+    # changed alpha: still no retrace (traced argument, not a constant)
+    x3, _ = apgd(gradf, proxg, 0.5 / float(d.max()),
+                 np.zeros(n, np.complex64), maxiter=200)
+    assert traces[0] == after_first, "apgd re-traced on alpha change"
+    assert rel_err(np.asarray(x1), b / d) < 5e-3
+    assert rel_err(np.asarray(x2), np.asarray(x1)) < 1e-6
+
+
+def test_max_eigen_cached_no_retrace(rng, monkeypatch):
+    """Eager max_eigen on an Operator rides a per-(n, iters, dtype)
+    executable with the operator as a jit argument — repeated calls
+    (e.g. FISTA step-size picks across problems) don't retrace."""
+    import indigo_tpu.cplx as cplx
+    from indigo_tpu.solvers import max_eigen, _max_eigen_cjit
+    monkeypatch.setattr(cplx, "supports_complex_buffers", lambda: False)
+    _max_eigen_cjit.cache_clear()
+    n = 32
+    d = np.geomspace(1.0, 10.0, n).astype(np.float32)
+    A1 = it.DenseMatrix(np.diag(d).astype(np.complex64))
+    A2 = it.DenseMatrix(np.diag(2 * d).astype(np.complex64))
+    l1 = max_eigen(A1, n, iters=50)
+    l2 = max_eigen(A2, n, iters=50)   # same shape: shared executable
+    assert abs(complex(l1).real - 10.0) < 0.2
+    assert abs(complex(l2).real - 20.0) < 0.4
+    info = _max_eigen_cjit.cache_info()
+    assert info.misses == 1 and info.hits >= 1
