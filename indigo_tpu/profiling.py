@@ -82,15 +82,17 @@ def toeplitz_cg_iter_macs(img_shape, nc):
     per complex output (Karatsuba x bf16x3). Forward stages produce
     2V + 4V + ... + 2^nd V matmul outputs, each a depth-128 contraction
     (the input support is n <= 128, or the radix split's half-size m).
-    Inverse stages execute EXACTLY the same MACs as the forward
-    (transpose symmetry of the padded transform): a non-radix inverse
-    pack is the (n, 2n) crop-IFFT matrix — a depth-2n contraction, i.e.
-    2x 128-deep passes per final output — and a radix inverse runs four
-    half-size products per butterfly, again 2x its final outputs. (An
-    earlier version of this model counted non-radix inverse stages at
-    depth 128 — half their executed MACs — which understated the 128^3
-    floor by 25% and mislabeled the headline lane at 64% of roofline;
-    the corrected floor puts the measured 6.4 ms iteration at ~85%.)
+    Inverse stages mirror the forward for axes with s > 64: a non-radix
+    inverse pack is the (s, 2s) crop-IFFT matrix — a depth-2s
+    contraction, i.e. 2x 128-deep passes per final output when 2s > 128
+    — and a radix inverse runs four half-size products per butterfly,
+    again 2x its final outputs. For s <= 64 the whole depth-2s
+    contraction fits ONE padded pass. (An earlier version counted
+    non-radix inverse stages at depth 128 — half their executed MACs —
+    which understated the 128^3 floor by 25% and mislabeled the headline
+    lane at 64% of roofline; the corrected floor puts the measured
+    6.4 ms iteration at ~85%. A later advisory fix added the s <= 64
+    single-pass case, which the flat 2x had overstated ~33% at 64^3.)
     Executed-MAC floor notes (DESIGN.md): radix-4/split-radix does NOT
     reduce this — the MXU pads any contraction to depth 128, so base-128
     blocks are already the executed-FLOP optimum (splitting a non-radix
@@ -101,7 +103,14 @@ def toeplitz_cg_iter_macs(img_shape, nc):
     nd = len(img_shape)
     V = int(np.prod(img_shape))
     fwd = sum(2 ** (d + 1) for d in range(nd))
-    inv = fwd   # inverse mirrors the forward — see docstring
+    # Inverse pass-units are PER AXIS SIZE: a non-radix inverse pack is
+    # the (s, 2s) crop-IFFT — depth 2s — which pads past the 128-deep MXU
+    # only for s > 64 (2x passes per final output; radix axes s > 128
+    # also run 2x via their four half-size butterfly products). For
+    # s <= 64 the contraction fits ONE padded pass, so counting 2x there
+    # overstated the 64^3 floor ~33% (round-4 advisory finding).
+    inv = sum(2 ** (nd - 1 - d) * (2 if s > 64 else 1)
+              for d, s in enumerate(img_shape))
     return (fwd + inv) * V * 128 * 9 * nc
 
 
