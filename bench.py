@@ -390,6 +390,86 @@ def run_gridded_2d(n=128, nc=8, cpu=False):
     return {"ips": ips, "roofline_frac": ips / sol}
 
 
+def run_cartesian_2d(n=128, iters=50, cpu=False):
+    """Config-1 lane: 2D Cartesian CG-SENSE at 128x128 (BASELINE.json
+    configs[0]) — CG on A^H A where A = Mask . CenteredDFT (. coil maps
+    for the 8-coil variant). The sampling mask rides the structured Mask
+    leaf (one gather per direction; the reference pays a csrmm for this
+    0/1 matrix — SURVEY.md §3.4). Reports single-coil iters/sec (the
+    config-1 number), the 8-coil rate, and the normal-op rel-err vs the
+    float64 oracle."""
+    import jax
+    import jax.numpy as jnp
+    from indigo_tpu import cplx, oracle, solvers
+    from indigo_tpu.analyses import apply_cost
+    from indigo_tpu.models import cartesian_sense_op
+    from indigo_tpu.profiling import HBM_BYTES_PER_SEC
+    from indigo_tpu.utils import rel_err
+
+    rng = np.random.default_rng(7)
+    img_shape = (n, n)
+    # variable-density row mask, fully-sampled center band (config-1's
+    # "CSR sampling mask": ~1/3 of rows kept)
+    p = 1.0 / (1.0 + 40.0 * np.abs(np.linspace(-0.5, 0.5, n)))
+    rows = rng.random(n) < p / p.mean() / 3.0
+    rows[int(n * 0.46):int(n * 0.54)] = True
+    mask = np.zeros(img_shape, bool)
+    mask[rows] = True
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float32) / n
+    maps8 = np.asarray([
+        (0.4 + np.exp(-(((xx - a) ** 2 + (yy - b) ** 2) * 3)))
+        * np.exp(2j * np.pi * (a * xx + b * yy))
+        for a, b in rng.random((8, 2))], dtype=np.complex64)
+    lam = 1e-2
+    out = {}
+    for tag, maps in (("c1", np.ones((1, n, n), np.complex64)),
+                      ("c8", maps8)):
+        A = cartesian_sense_op(mask, maps)
+        AHA = A.H * A
+        rhs = (rng.standard_normal((n * n, 1), dtype=np.float32)
+               + 1j * rng.standard_normal((n * n, 1), dtype=np.float32)
+               ).astype(np.complex64)
+        A_d = cplx.device_put_tree(AHA)
+        rhs_d = jax.device_put(cplx.pack(rhs))
+
+        def make(k):
+            @cplx.cjit
+            def f(Aop, b):
+                x, _ = solvers.cg(Aop, b, lamda=lam, tol=0.0, maxiter=k,
+                                  history=True)
+                return jnp.linalg.norm(jnp.real(x))
+            return f
+
+        # the masked-FFT normal op is light (~us/iter at 128^2), so even
+        # the CPU-baseline path needs a widened span: a 1-iter diff is
+        # pure timer noise (observed 1e9 "iters/sec")
+        k1, k2 = (1, 2) if cpu else (10, 30)
+        per_iter = diff_timed(make, (A_d, rhs_d), k1, k2,
+                              npairs=1 if cpu else 3,
+                              min_span=0.05 if cpu else 0.5)
+        out[tag] = 1.0 / per_iter
+        if tag == "c1":
+            # roofline: one normal-op apply + 6 CG vector passes
+            _, bytes_apply = apply_cost(AHA, 1)
+            sol = HBM_BYTES_PER_SEC / (bytes_apply + 6 * n * n * 8)
+            out["roofline_frac"] = out[tag] / sol
+            # correctness: device normal op vs the float64 oracle
+            v = (rng.standard_normal((n * n,), dtype=np.float32)
+                 + 1j * rng.standard_normal((n * n,), dtype=np.float32)
+                 ).astype(np.complex64)
+            dev = np.asarray(AHA * v[:, None])[:, 0]
+            ref = oracle.cartesian_sense_adjoint(
+                oracle.cartesian_sense_forward(
+                    v.astype(np.complex128), mask, maps), mask, maps)[:, 0]
+            out["oracle_err"] = rel_err(dev, ref)
+    log(f"cartesian 2D CG {n}x{n}: single-coil {out['c1']:.1f} iters/sec "
+        f"({100 * out['roofline_frac']:.0f}% of roofline), 8-coil "
+        f"{out['c8']:.1f}, normal-op vs float64 oracle "
+        f"{out['oracle_err']:.2e}")
+    assert out["oracle_err"] < 1e-5
+    return out
+
+
 def run_tile_3d(n=128, cpu=False):
     """3D tile-gather KB interpolation applies/sec (the gridded forward/
     adjoint that serves rhs builds + simulation; ops/tile_interp.py)."""
@@ -672,6 +752,7 @@ def main():
             # emit only what was actually measured this run: re-emitting
             # the cached toeplitz_128 here would make a stale baseline
             # look freshly measured (round-3 advisory)
+            cfgs["cartesian2d_128"] = run_cartesian_2d(cpu=True)["c1"]
             cfgs["gridded2d_128"] = run_gridded_2d(cpu=True)["ips"]
             t = run_tile_3d(cpu=True)
             cfgs["tile3d_128_fwd"] = t["fwd"]
@@ -688,6 +769,7 @@ def main():
             cfgs["toeplitz_128"] = r["ips"]
             base.update({"metric": "cg_iters_per_sec_3d_sense",
                          "value": r["ips"], "n": 128})
+            cfgs["cartesian2d_128"] = run_cartesian_2d(cpu=True)["c1"]
             cfgs["gridded2d_128"] = run_gridded_2d(cpu=True)["ips"]
             t = run_tile_3d(cpu=True)
             cfgs["tile3d_128_fwd"] = t["fwd"]
@@ -707,12 +789,20 @@ def main():
              n_devices=len(jax.devices()))
 
     if not (small or huge):
-        # the gridded/SpMM hot-path lanes (SURVEY.md §2 rows 1-2) come
-        # first; the LAST line stays the cross-round headline
+        # config-1 first (BASELINE.json order), then the gridded/SpMM
+        # hot-path lanes (SURVEY.md §2 rows 1-2); the LAST line stays
+        # the cross-round headline
+        c = run_cartesian_2d()
+        emit("cartesian_cg_iters_per_sec_2d_128c1", c["c1"],
+             vs=vs("cartesian2d_128", c["c1"]),
+             coil8_iters_per_sec=round(c["c8"], 3),
+             roofline_pct=round(100 * c["roofline_frac"], 1),
+             rel_err_vs_oracle=round(c["oracle_err"], 8))
         g = run_gridded_2d()
         emit("gridded_cg_iters_per_sec_2d_radial_128c8", g["ips"],
              vs=vs("gridded2d_128", g["ips"]),
-             roofline_pct=round(100 * g["roofline_frac"], 1))
+             roofline_pct=round(100 * g["roofline_frac"], 1),
+             model="tile-leaf-cost-r4")
         t = run_tile_3d()
         emit("tile_gather_fwd_applies_per_sec_3d_128", t["fwd"],
              vs=vs("tile3d_128_fwd", t["fwd"]), unit="applies/sec",

@@ -36,3 +36,14 @@ def test_sharded_vol_lane_runs():
     assert np.isfinite(x).all() and np.linalg.norm(x) > 0
     resids = np.asarray(r["resids"])
     assert np.isfinite(resids).all()
+
+
+def test_cartesian_lane_runs():
+    """Config-1 lane (run_cartesian_2d) runs at a small size on CPU and
+    its normal op matches the float64 oracle."""
+    sys.path.insert(0, ".")
+    import bench
+    r = bench.run_cartesian_2d(n=32, cpu=True)
+    assert r["c1"] > 0 and r["c8"] > 0
+    assert r["oracle_err"] < 1e-5
+    assert 0 < r["roofline_frac"]
