@@ -53,7 +53,9 @@ def main(n=128):
     # Complex data stays numpy at the boundary; the framework splits it into
     # f32 pairs before device transfer (TPU has no complex buffers).
     y = A * x_true  # simulated k-space
-    AHA = A.H * A
+    # optimize() fuses P^H P (the 0/1 sampling matrix's normal factor) into
+    # one diagonal via host spGEMM — no gathers/SpMM left in the CG loop
+    AHA = (A.H * A).optimize()
     AHy = A.H * y
 
     t0 = time.perf_counter()

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from . import cplx
 from .operators import (
     Operator, SpMatrix, DenseMatrix, Diag, UnscaledFFT, Eye, One, CropPad,
-    Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
+    Mask, Product, Adjoint, KronI, BlockDiag, VStack, HStack, Scale,
 )
 from .sparse import bell_to_csr, jag_to_csr, element_to_csr, BlockedJag, \
     ElementELL
@@ -117,15 +117,29 @@ class DistributeKronIOverProduct(Transform):
 
 
 class Associativity(Transform):
-    """Right-leaning product normalization: (AB)C -> A(BC)."""
+    """Right-leaning product normalization: (AB)C -> A(BC).
+
+    Flattens the whole factor chain and refolds right — the pairwise
+    ``(AB)C -> A(BC)`` rewrite alone can leave left-nested products when
+    the hoisted middle factor is itself a product, which hides leaf
+    adjacencies from RealizeMatrices.
+    """
 
     def visit_Product(self, node):
-        left = self.visit(node.left)
-        right = self.visit(node.right)
-        while isinstance(left, Product):
-            right = Product(left.right, right)
-            left = left.left
-        return Product(left, right)
+        factors = []
+
+        def collect(n):
+            if isinstance(n, Product):
+                collect(n.left)
+                collect(n.right)
+            else:
+                factors.append(self.visit(n))
+
+        collect(node)
+        out = factors[-1]
+        for f in reversed(factors[:-1]):
+            out = Product(f, out)
+        return out
 
 
 class FoldScale(Transform):
@@ -183,6 +197,29 @@ def _to_scipy(node):
     if isinstance(node, Adjoint):
         m = _to_scipy(node.child)
         return None if m is None else m.conj().T.tocsr()
+    if isinstance(node, Mask):
+        keep = np.asarray(node.keep)
+        m, n = node.shape
+        return sp.csr_matrix(
+            (np.ones(len(keep), np.dtype(node.dtype)),
+             keep, np.arange(len(keep) + 1)), shape=(m, n))
+    if isinstance(node, KronI):
+        # Only structured children (Mask/Diag/Eye and wrappers): realizing
+        # KronI(SpMatrix) would trade the batched SpMM for one big CSR and
+        # lose the structural batching. The case this serves is
+        # KronI(Mask)^H . KronI(Mask) -> Diag (see RealizeMatrices).
+        def structured(c):
+            if isinstance(c, (Mask, Diag, Eye)):
+                return True
+            if isinstance(c, (Scale, Adjoint)):
+                return structured(c.child)
+            return False
+        if not structured(node.child):
+            return None
+        m = _to_scipy(node.child)
+        if m is None or node.c * m.nnz > 50_000_000:
+            return None
+        return sp.kron(sp.identity(node.c, dtype=m.dtype), m).tocsr()
     return None
 
 

@@ -118,3 +118,50 @@ def test_full_optimize_pipeline(rng):
     assert_equiv(AH_A, opt, rng)
     out = optimize(A)
     assert_equiv(A, out, rng)
+
+
+def test_associativity_deep_right_lean(rng):
+    """Left-nested chains with product-valued middle factors must come out
+    fully right-leaning (the pairwise (AB)C->A(BC) rewrite alone leaves
+    Product-left nodes that hide adjacencies from RealizeMatrices)."""
+    ops = [it.DenseMatrix(rand64c(6, 6, rng=rng)) for _ in range(5)]
+    tree = Product(Product(ops[0], Product(ops[1], ops[2])),
+                   Product(ops[3], ops[4]))
+    out = Associativity().visit(tree)
+
+    def check(n):
+        if isinstance(n, Product):
+            assert not isinstance(n.left, Product)
+            check(n.right)
+    check(out)
+    assert_equiv(tree, out, rng)
+
+
+def test_mask_normal_fuses_to_diag(rng):
+    """optimize(A.H A) on a Cartesian SENSE tree fuses Mask.H . Mask into a
+    0/1 Diag — the reference's RealizeMatrices spGEMM result for the 0/1
+    sampling matrix (SURVEY.md §3.2); no gather leaf survives in the
+    normal-op hot loop."""
+    from indigo_tpu.models import cartesian_sense_op
+    from indigo_tpu.operators import Mask
+    n = 8
+    mask = np.zeros((n, n), bool)
+    mask[rng.random((n, n)) < 0.5] = True
+    mask[3:5] = True
+    maps = rand64c(2, n, n, rng=rng)
+    A = cartesian_sense_op(mask, np.asarray(maps))
+    AHA = A.H * A
+    opt = optimize(AHA)
+
+    def leaves(node):
+        for attr in ("left", "right", "child"):
+            c = getattr(node, attr, None)
+            if c is not None:
+                yield from leaves(c)
+        for b in getattr(node, "blocks", []) or []:
+            yield from leaves(b)
+        yield node
+
+    kinds = {type(l).__name__ for l in leaves(opt)}
+    assert "Mask" not in kinds, kinds
+    assert_equiv(AHA, opt, rng)
