@@ -73,6 +73,11 @@ class SenseRecon:
             w = (np.sum(traj ** 2, axis=1) ** ((d - 1) / 2.0)
                  + (0.5 / max(self.img_shape)) ** (d - 1)).astype(np.float32)
             w /= w.max()
+        elif isinstance(dcf, str) and dcf == "pipe_menon":
+            from ..noncart import pipe_menon_dcf
+            grid = tuple(int(2 * round(s * oversamp / 2))
+                         for s in self.img_shape)
+            w = pipe_menon_dcf(traj, grid, width=width)
         else:
             w = np.asarray(dcf, np.float32).ravel()
         self._w_user = w
