@@ -425,7 +425,12 @@ def run_cartesian_2d(n=128, iters=50, cpu=False):
     for tag, maps in (("c1", np.ones((1, n, n), np.complex64)),
                       ("c8", maps8)):
         A = cartesian_sense_op(mask, maps)
-        AHA = A.H * A
+        # reference workflow: optimize() before the solve (SURVEY.md §3.2).
+        # RealizeMatrices fuses Mask.H . Mask into a 0/1 Diag — the CG loop
+        # then has NO gathers (the narrow-column mask gathers measured
+        # 94-294 us/round-trip vs 2-16 us for the whole DFT round trip)
+        from indigo_tpu import transforms
+        AHA = transforms.optimize(A.H * A)
         rhs = (rng.standard_normal((n * n, 1), dtype=np.float32)
                + 1j * rng.standard_normal((n * n, 1), dtype=np.float32)
                ).astype(np.complex64)
@@ -668,11 +673,56 @@ def run_serving(n=256, nc=8, iters=10):
     t0 = time.time()
     out = list(recon.stream(ys))
     t_stream = (time.time() - t0) / len(out)
+
+    # rhs G^H stage alone against its three-resource floor: the dominant
+    # rhs cost at this config is the binned tile-gather adjoint at the
+    # full folded coil count K=2*nc (the CG's normal op never runs it —
+    # Toeplitz embedding — so the serving lane is the only place this
+    # apply shape is driver-visible)
+    import jax.numpy as jnp
+    from jax import lax
+    from indigo_tpu.ops.tile_interp import tile_interp_apply
+    from indigo_tpu.profiling import tile_adj_floor
+    tplan = None
+    stack = [recon._A_d]
+    while stack:
+        node = stack.pop()
+        p = getattr(node, "plan", None)
+        if p is not None and getattr(p, "bins", None) is not None:
+            tplan = p
+            break
+        stack.extend(c for c in (getattr(node, a, None)
+                                 for a in ("left", "right", "child"))
+                     if c is not None)
+        stack.extend(getattr(node, "blocks", None) or [])
+    rng2 = np.random.default_rng(7)
+    yr = jax.device_put(rng2.standard_normal((M, nc), dtype=np.float32))
+    yi = jax.device_put(rng2.standard_normal((M, nc), dtype=np.float32))
+
+    def make_adj(k):
+        @jax.jit
+        def f(p, ar, ai):
+            def step(s, _):
+                v = lax.complex(ar * (1 + 1e-37 * s), ai)
+                o = tile_interp_apply(p, v, adjoint=True)
+                return jnp.sum(jnp.real(o)) * 1e-30, None
+            s, _ = lax.scan(step, jnp.float32(0), None, length=k)
+            return s
+        return f
+
+    per_adj = diff_timed(make_adj, (tplan, yr, yi), 1, 3, npairs=3,
+                         min_span=0.5)
+    a_floor, a_terms = tile_adj_floor(tplan, K=2 * nc)
+    log(f"serving rhs G^H adjoint (K={2 * nc}): {per_adj * 1e3:.0f} ms, "
+        f"{100 * a_floor / per_adj:.0f}% of the {a_floor * 1e3:.0f} ms "
+        "floor: "
+        + " ".join(f"{k}={v * 1e3:.0f}ms" for k, v in a_terms.items()))
     log(f"serving {n}^3 {nc}-coil: init {t_init:.1f}s first {t_first:.1f}s "
         f"warm {t_warm:.2f}s (device-resident) egress {t_egress:.2f}s "
         f"stream {t_stream:.2f}s/acq over {len(out)}")
     return {"warm_s": t_warm, "egress_s": t_egress, "stream_s": t_stream,
-            "first_s": t_first}
+            "first_s": t_first, "adj_s": per_adj,
+            "adj_roofline_frac": a_floor / per_adj}
 
 
 def run_sharded_vol(n=256, iters=10, nspokes=None, nread=None):
@@ -818,6 +868,8 @@ def main():
         emit("serving_warm_seconds_3d_256c8", s["warm_s"], unit="seconds",
              egress_seconds=round(s["egress_s"], 2),
              stream_seconds_per_acq=round(s["stream_s"], 2),
+             rhs_adj_seconds=round(s["adj_s"], 4),
+             rhs_adj_roofline_pct=round(100 * s["adj_roofline_frac"], 1),
              delivery="device")
 
     configs = [64] if small else ([256] if huge else [256, 128])
