@@ -263,18 +263,31 @@ class SenseRecon:
     def stream(self, ys, output="host"):
         """Reconstruct a SEQUENCE of acquisitions with egress overlapped.
 
-        Serving pattern: the solve of acquisition k+1 is dispatched
-        (asynchronously) before acquisition k's volume is fetched, so the
-        device->host egress of one result rides under the next solve
-        instead of serializing after it — on tunneled/slow links the
-        stream throughput approaches the compute-only rate (the round-3
-        serving gap: 1.9 s compute vs 5.6 s egress at 256^3).
+        Serving pattern: each solve is dispatched asynchronously and its
+        result's device->host copy is enqueued IMMEDIATELY (via
+        ``copy_to_host_async``), before the next acquisition's solve
+        joins the device queue. Ordering matters: a plain ``np.asarray``
+        issued after dispatching solve k+1 puts the D2H request BEHIND
+        solve k+1 in the device stream, so the fetch waits for it and
+        the loop runs serial (the round-4 5.91 s/acq at warm 2.46 +
+        egress 4.04; tools/stream_trace.py). With the copy enqueued
+        right behind its own solve, the transfer engine streams result k
+        out while solve k+1 executes, and throughput approaches
+        max(solve, egress).
 
         ys: iterable of k-space acquisitions (each as accepted by
         ``__call__``). Yields images in order; ``output`` as in
         ``__call__`` ('host' fetches numpy complex, 'device' yields the
         un-fetched CPair and leaves overlap to the caller).
         """
+        def prefetch(x):
+            try:
+                x.re.copy_to_host_async()
+                x.im.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass               # backend without async D2H: np.asarray
+                                   # below still works, just unoverlapped
+
         def fetch(x):
             if output == "host":
                 return (np.asarray(x.re).astype(np.complex64)
@@ -283,7 +296,8 @@ class SenseRecon:
 
         prev = None
         for y in ys:
-            x = self(y, output="device")   # async dispatch
+            x = self(y, output="device")   # async dispatch of solve k
+            prefetch(x)                    # D2H of k queued before k+1
             if prev is not None:
                 yield fetch(prev)          # egress overlaps x's solve
             prev = x

@@ -569,6 +569,13 @@ def plan_tile_interp(traj, grid_shape, width=4, beta=None, tile=None,
 # above this many elements, run the (un)tiling transpose in z-slab chunks:
 # XLA can materialize the 6D transpose with sub-128 minor dims (16x layout
 # padding), which at 640^3-class grids would exceed HBM outright
+# The two-stage (re)tile transposes are faster than the monolithic 7D
+# form at EVERY 3D size, not just past a memory threshold: at 128^3/K=2
+# the 7D _retile measured 3.52 ms vs 1.67 ms for _retile2 against a
+# ~0.2 ms copy floor (tools/retile_micro.py) — XLA's monolithic
+# transpose picks a poor layout well below the sizes where it OOMs.
+# 3D always takes the two-stage path; the threshold survives only as
+# documentation of where the 7D form additionally starts 8x-padding.
 _TILE_SLAB_ELEMS = 1 << 27
 
 
@@ -629,7 +636,7 @@ def tile_grid(plan, x):
     xk = x.T.reshape((K,) + G)
     pads = [(0, 0)] + [(lo[d], E[d] - G[d] - lo[d]) for d in range(nd)]
     xk = jnp.pad(xk, pads, mode="wrap")
-    if nd == 3 and xk.size > _TILE_SLAB_ELEMS:
+    if nd == 3:
         return _retile2(xk, plan.nt, T, K, E)
     return _retile(xk, plan.nt, T, K, nd)
 
@@ -655,7 +662,7 @@ def untile_grid(plan, xt, K):
     periodically (the transpose of pad-wrap is overlap-add)."""
     G, E, T, lo = plan.grid_shape, plan.ext, plan.tile, plan.pad_lo
     nd = len(G)
-    if nd == 3 and xt.size > _TILE_SLAB_ELEMS:
+    if nd == 3:
         xe = _unretile2(xt, plan.nt, T, K, E)           # (K, *E)
     else:
         xe = _unretile(xt, plan.nt, T, K, nd, E)        # (K, *E)
@@ -732,8 +739,15 @@ def _forward(plan, xt, K, chunk):
         m = tid.shape[0]
         g = xt[tid.reshape(-1)].reshape(m, S, K, 128)
         W = _lane_weights(plan, wfac)              # (m, S, 128)
-        r = jnp.sum(g * W[:, :, None, :], axis=1)  # (m, K, 128)
-        return jnp.sum(r, axis=-1)                 # (m, K)
+        # contract (S, lanes) in ONE einsum instead of a broadcast
+        # multiply + two staged reductions: the staged form materializes
+        # the (m, S, K, 128) product before reducing (an extra HBM
+        # round-trip over the gathered rows — +2.5 ms of the forward's
+        # 7.5 ms reduce stage at 128^3; tools/fwd_contract_probe.py).
+        # HIGHEST costs nothing here (memory-bound) and keeps the
+        # contraction f32-exact against the CSR oracle.
+        return jnp.einsum("mskl,msl->mk", g, W,
+                          precision=jax.lax.Precision.HIGHEST)
 
     return _map_chunks(one_chunk, plan, K, chunk)
 
